@@ -1,0 +1,224 @@
+"""Voxel ViT — TPU rebuild of Feature3D_ViT2D_V2.
+
+Reference: /root/reference/models/vit_3d_2d_pretrain.py:275-526. A 2D
+DeiT backbone whose patch embedding is swapped for a 3D voxel tokenizer, with
+four positional-embedding routes (default / no_embed / group_embed /
+weight_sharing), a frozen 2D image pathway for LwF distillation
+(forward_images), and a new 3D head (Linear or AMSoftmax).
+
+TPU-first deviations from the reference's torch graph (math-preserving unless
+noted):
+  * weight_sharing runs the 12-block stack once over a z-folded batch
+    [B*pz, px*py+1, D] instead of a python loop over z slices
+    (vit_3d_2d_pretrain.py:498-519) — identical math (shared weights,
+    averaged cls), one big MXU program instead of pz sequential passes.
+  * group_embed's stage-1 encoder attends over each z-pillar sequence.
+    The reference feeds batch-first tensors to a seq-first
+    nn.TransformerEncoderLayer (vit_3d_2d_pretrain.py:381,479), which silently
+    attends across the *batch*; that batch-size-dependent behavior is a bug we
+    do not replicate.
+  * voxel_pos_embed is zeros-initialized and trainable: the reference
+    constructs it as zeros and then applies trunc_normal_ to the (frozen) 2D
+    pos_embed instead (vit_3d_2d_pretrain.py:370-371) — so the effective
+    behavior, mirrored here, is "voxel pos embed trains from zeros".
+  * no_embed keeps a non-trainable zero voxel_pos_embed (the reference's V2
+    no_embed route references an attribute it never creates when the 2D grid
+    is 196 patches — latent breakage we fix by honoring the declared intent).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.layers import AMSoftmaxLayer, dense
+from ..nn.vit import BACKBONES, PatchEmbed2D, ViTCore
+
+
+class PostNormEncoderLayer(nn.Module):
+    """torch.nn.TransformerEncoderLayer equivalent (post-LN, ReLU FF).
+
+    Used by the group_embed route (vit_3d_2d_pretrain.py:381): d_model == dim,
+    dim_feedforward == dim, nhead=4, dropout=0.1.
+    """
+
+    num_heads: int = 4
+    dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        B, N, C = x.shape
+        H = self.num_heads
+        hd = C // H
+        qkv = dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.moveaxis(qkv.reshape(B, N, 3, H, hd), 2, 0)
+        scores = jnp.einsum("bnhd,bmhd->bhnm", q * (hd ** -0.5), k)
+        probs = nn.softmax(scores, axis=-1)
+        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+        out = jnp.einsum("bhnm,bmhd->bnhd", probs, v).reshape(B, N, C)
+        out = dense(C, dtype=self.dtype, name="out_proj")(out)
+        x = nn.LayerNorm(name="norm1")(
+            x + nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        )
+        h = dense(C, dtype=self.dtype, name="linear1")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = dense(C, dtype=self.dtype, name="linear2")(h)
+        x = nn.LayerNorm(name="norm2")(
+            x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        )
+        return x
+
+
+class VoxelViT(nn.Module):
+    """DeiT backbone + 3D voxel tokenizer + 3D head (+ frozen 2D pathway)."""
+
+    voxel_embed: Any  # a module from nn.voxel_embed
+    n_classes: int = 10
+    transformer_backbone: str = "deit_base_patch16_224"
+    pos_embedding: Optional[str] = "default"
+    head: str = "default"  # or "AMSoftmax"
+    img_size: int = 224
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        cfg = BACKBONES[self.transformer_backbone]
+        self.embed_dim = cfg["embed_dim"]
+        D = self.embed_dim
+        mode = self.pos_embedding or "default"
+        if mode not in ("default", "no_embed", "group_embed", "weight_sharing"):
+            raise ValueError("Unknown positional embedding scheme!")
+        self.mode = mode
+
+        # ---- shared backbone (2D-pretrained weights land here) ----
+        self.core = ViTCore(
+            depth=cfg["depth"],
+            num_heads=cfg["num_heads"],
+            mlp_ratio=cfg["mlp_ratio"],
+            qkv_bias=cfg["qkv_bias"],
+            dtype=self.dtype,
+            name="core",
+        )
+        self.cls_token = self.param(
+            "cls_token", nn.initializers.truncated_normal(0.02), (1, 1, D)
+        )
+
+        # ---- frozen 2D image pathway (LwF, forward_images) ----
+        n2d = (self.img_size // cfg["patch_size"]) ** 2
+        self.patch_embed = PatchEmbed2D(
+            patch_size=cfg["patch_size"], embed_dim=D, dtype=self.dtype
+        )
+        self.pos_embed = self.param(
+            "pos_embed", nn.initializers.truncated_normal(0.02), (1, n2d + 1, D)
+        )
+        self.head_2d = dense(1000, dtype=self.dtype, name="head")
+
+        # ---- 3D side ----
+        if self.head == "AMSoftmax":
+            self.voxel_head = AMSoftmaxLayer(self.n_classes, dtype=self.dtype)
+        else:
+            self.voxel_head = dense(self.n_classes, dtype=self.dtype, name="voxel_head")
+
+        p = self.voxel_embed.patch_size
+        if mode in ("default", "no_embed"):
+            n3d = self.voxel_embed.num_patches
+        else:  # group_embed / weight_sharing operate on the (px, py) grid
+            n3d = p ** 2
+        self.voxel_pos_embed = self.param(
+            "voxel_pos_embed", nn.initializers.zeros, (1, n3d + 1, D)
+        )
+        if mode == "group_embed":
+            self.group_embed = PostNormEncoderLayer(dtype=self.dtype, name="group_embed")
+            self.group_pos_embed = self.param(
+                "group_pos_embed", nn.initializers.zeros, (1, p + 1, D)
+            )
+            self.group_cls_token = self.param(
+                "group_cls_token", nn.initializers.zeros, (1, 1, D)
+            )
+
+    # -- helpers ---------------------------------------------------------
+    def _with_cls(self, tokens, cls_param):
+        cls = jnp.broadcast_to(
+            cls_param.astype(tokens.dtype), (tokens.shape[0], 1, tokens.shape[-1])
+        )
+        return jnp.concatenate([cls, tokens], axis=1)
+
+    # -- forward paths -----------------------------------------------------
+    def forward_features(self, x, *, deterministic: bool = True):
+        """x: [B, V, V, V] float occupancy -> pooled feature [B, D]."""
+        mode = self.mode
+        tok = self.voxel_embed(x)  # [B, p, p, D] or [B, p, p, p, D]
+
+        if mode in ("default", "no_embed"):
+            tok = tok.reshape(tok.shape[0], -1, tok.shape[-1])
+            tok = self._with_cls(tok, self.cls_token)
+            if mode == "default":
+                tok = tok + self.voxel_pos_embed.astype(tok.dtype)
+            # no_embed: zero pos embed, omitted entirely (same math, no read)
+            feats = self.core(tok, deterministic=deterministic)
+            return feats[:, 0]
+
+        if mode == "group_embed":
+            # Stage 1: per-(px,py) pillar, sequence over pz (+ group cls).
+            B, px, py, pz, D = tok.shape
+            pillars = tok.reshape(B * px * py, pz, D)
+            pillars = self._with_cls(pillars, self.group_cls_token)
+            pillars = pillars + self.group_pos_embed.astype(pillars.dtype)
+            pillars = self.group_embed(pillars, deterministic=deterministic)
+            pillars = self.core(pillars, deterministic=deterministic)
+            pillar_feat = pillars[:, 0].reshape(B, px * py, D)
+            # Stage 2: global pass over the pillar grid (backbone runs again,
+            # exactly as the reference does, vit_3d_2d_pretrain.py:481-496).
+            tok2 = self._with_cls(pillar_feat, self.cls_token)
+            tok2 = tok2 + self.voxel_pos_embed.astype(tok2.dtype)
+            feats = self.core(tok2, deterministic=deterministic)
+            return feats[:, 0]
+
+        # weight_sharing: one backbone pass per z-slice, averaged cls.
+        B, px, py, pz, D = tok.shape
+        slices = tok.transpose(0, 3, 1, 2, 4).reshape(B * pz, px * py, D)
+        slices = self._with_cls(slices, self.cls_token)
+        slices = slices + self.voxel_pos_embed.astype(slices.dtype)
+        feats = self.core(slices, deterministic=deterministic)
+        cls = feats[:, 0].reshape(B, pz, D)
+        return jnp.mean(cls, axis=1)
+
+    def forward_images(self, x, *, deterministic: bool = True):
+        """Frozen 2D pathway (vit_3d_2d_pretrain.py:435-451): [B,H,W,3] -> 1000-way."""
+        tokens = self.patch_embed(x)
+        tokens = self._with_cls(tokens, self.cls_token)
+        tokens = tokens + self.pos_embed.astype(tokens.dtype)
+        feats = self.core(tokens, deterministic=deterministic)
+        return self.head_2d(feats[:, 0])
+
+    def __call__(self, x, *, deterministic: bool = True):
+        feats = self.forward_features(x, deterministic=deterministic)
+        return self.voxel_head(feats)
+
+    def init_all(self, x, images):
+        """Touch both pathways so init creates every parameter (flax setup
+        materializes params lazily; the 2D pathway must exist even for runs
+        that never call forward_images, to match the reference state dict)."""
+        return self(x), self.forward_images(images)
+
+
+# Parameter paths frozen when 2D-pretrained weights are loaded
+# (vit_3d_2d_pretrain.py:428-432): 2D head, 2D pos embed, 2D patch embed.
+FROZEN_2D_PREFIXES = ("head", "pos_embed", "patch_embed")
+
+
+def frozen_mask(params, pretrained: bool):
+    """True = trainable. Mirrors requires_grad=False on the 2D-side params."""
+    if not pretrained:
+        return jax.tree_util.tree_map(lambda _: True, params)
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        return path[0] not in FROZEN_2D_PREFIXES
+
+    return walk(params, ())

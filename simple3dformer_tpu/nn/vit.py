@@ -1,0 +1,162 @@
+"""DeiT/ViT backbone, rebuilt natively (the reference leans on timm for this).
+
+Covers what /root/reference/models/DeIT.py + timm's VisionTransformer supply:
+patch embedding, cls token, learned pos embed, 12 pre-norm blocks, final norm,
+classifier head. The 16x16/stride-16 patch conv is expressed as
+patchify-reshape + one matmul — the exact same math, but laid out as a single
+large MXU contraction instead of a convolution.
+
+Backbone config dicts mirror the reference's tables *including the quirk* that
+deit_base is instantiated with num_heads=3 in the 3D models
+(/root/reference/models/vit_3d_2d_pretrain.py:298-306, models/3DViT/model.py:167-175)
+while the true DeiT-base teacher uses 12 heads (/root/reference/models/DeIT.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import Block, dense, trunc_normal_init
+
+# Config dicts used by the 3D models (reference parity, num_heads quirk intact).
+BACKBONES = {
+    "deit_tiny_patch16_224": dict(patch_size=16, embed_dim=192, depth=12, num_heads=3, mlp_ratio=4.0, qkv_bias=True),
+    "deit_small_patch16_224": dict(patch_size=16, embed_dim=384, depth=12, num_heads=6, mlp_ratio=4.0, qkv_bias=True),
+    "deit_base_patch16_224": dict(patch_size=16, embed_dim=768, depth=12, num_heads=3, mlp_ratio=4.0, qkv_bias=True),
+    "deit_base_distilled_patch16_224": dict(patch_size=16, embed_dim=768, depth=12, num_heads=3, mlp_ratio=4.0, qkv_bias=True),
+    "vit_base_patch16_224_21k": dict(patch_size=16, embed_dim=768, depth=12, num_heads=3, mlp_ratio=4.0, qkv_bias=True),
+    "vit_large_patch16_224": dict(patch_size=16, embed_dim=768, depth=12, num_heads=3, mlp_ratio=4.0, qkv_bias=True),
+}
+
+# True DeiT head counts, used for the LwF teacher (/root/reference/models/DeIT.py:67-153).
+TEACHER_BACKBONES = {
+    "deit_tiny_patch16_224": dict(patch_size=16, embed_dim=192, depth=12, num_heads=3, mlp_ratio=4.0, qkv_bias=True),
+    "deit_small_patch16_224": dict(patch_size=16, embed_dim=384, depth=12, num_heads=6, mlp_ratio=4.0, qkv_bias=True),
+    "deit_base_patch16_224": dict(patch_size=16, embed_dim=768, depth=12, num_heads=12, mlp_ratio=4.0, qkv_bias=True),
+}
+
+EMBED_DIM = {name: cfg["embed_dim"] for name, cfg in BACKBONES.items()}
+
+
+class ViTCore(nn.Module):
+    """The shared block stack + final LayerNorm (timm `blocks` + `norm`)."""
+
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        for i in range(self.depth):
+            x = Block(
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                drop=self.drop,
+                attn_drop=self.attn_drop,
+                drop_path=self.drop_path,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+
+
+class PatchEmbed2D(nn.Module):
+    """Image -> 196 tokens. Conv(k=s=16) as patchify + matmul (MXU-shaped).
+
+    Input is channels-last [B, H, W, C]. Token order matches torch's
+    flatten(2).transpose(1, 2): row-major over the (gh, gw) patch grid.
+    """
+
+    patch_size: int = 16
+    embed_dim: int = 768
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        P = self.patch_size
+        gh, gw = H // P, W // P
+        kernel = self.param(
+            "kernel", trunc_normal_init, (P * P * C, self.embed_dim)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.embed_dim,))
+        x = x.reshape(B, gh, P, gw, P, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, P * P * C)
+        dt = self.dtype or x.dtype
+        return x.astype(dt) @ kernel.astype(dt) + bias.astype(dt)
+
+
+class ViT2D(nn.Module):
+    """Full 2D DeiT classifier: the LwF teacher and the frozen 2D pathway.
+
+    Mirrors timm VisionTransformer.forward as the reference uses it
+    (/root/reference/models/vit_3d_2d_pretrain.py:435-451): patch embed,
+    prepend cls token, add pos embed, blocks, norm, head on the cls token.
+    """
+
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    patch_size: int = 16
+    num_classes: int = 1000
+    img_size: int = 224
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        n_patches = (self.img_size // self.patch_size) ** 2
+        self.patch_embed = PatchEmbed2D(
+            patch_size=self.patch_size, embed_dim=self.embed_dim, dtype=self.dtype
+        )
+        self.cls_token = self.param(
+            "cls_token", trunc_normal_init, (1, 1, self.embed_dim)
+        )
+        self.pos_embed = self.param(
+            "pos_embed", trunc_normal_init, (1, n_patches + 1, self.embed_dim)
+        )
+        self.core = ViTCore(
+            depth=self.depth,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias,
+            dtype=self.dtype,
+            name="core",
+        )
+        self.head = dense(self.num_classes, dtype=self.dtype, name="head")
+
+    def encode(self, x, *, deterministic: bool = True):
+        tokens = self.patch_embed(x)
+        cls = jnp.broadcast_to(
+            self.cls_token.astype(tokens.dtype), (tokens.shape[0], 1, tokens.shape[-1])
+        )
+        tokens = jnp.concatenate([cls, tokens], axis=1)
+        tokens = tokens + self.pos_embed.astype(tokens.dtype)
+        return self.core(tokens, deterministic=deterministic)
+
+    def __call__(self, x, *, deterministic: bool = True):
+        feats = self.encode(x, deterministic=deterministic)
+        return self.head(feats[:, 0])
+
+
+def make_teacher(backbone: str = "deit_base_patch16_224", dtype=None) -> ViT2D:
+    """Frozen 2D teacher for LwF (/root/reference/train_cls_voxel.py:180)."""
+    cfg = TEACHER_BACKBONES[backbone]
+    return ViT2D(
+        embed_dim=cfg["embed_dim"],
+        depth=cfg["depth"],
+        num_heads=cfg["num_heads"],
+        mlp_ratio=cfg["mlp_ratio"],
+        qkv_bias=cfg["qkv_bias"],
+        patch_size=cfg["patch_size"],
+        dtype=dtype,
+    )

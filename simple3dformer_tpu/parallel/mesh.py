@@ -1,0 +1,90 @@
+"""Device mesh + sharding setup.
+
+The reference scales with NCCL DistributedDataParallel only (data parallelism;
+/root/reference/train_cls_voxel.py:154-165, SURVEY §2.6). The TPU-native
+equivalent: one ``jax.sharding.Mesh`` whose axes cover every chip, parameters
+replicated, batch sharded on the ``data`` axis, gradient psum riding ICI —
+XLA inserts the collectives from sharding annotations, there is no hand-written
+communication layer.
+
+A second ``model`` axis is plumbed through for tensor-parallel experiments;
+the reference has no TP/PP/SP (SURVEY §2.6) so the default mesh is 1-D.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: int | None = None,
+    n_model: int = 1,
+    devices: list | None = None,
+) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    ``n_data=None`` uses all devices (divided by ``n_model``). Works the same
+    on 1 real TPU chip, a v5e-8 slice, or 8 virtual CPU devices under
+    ``--xla_force_host_platform_device_count``.
+    """
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    use = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(use, (DATA_AXIS, MODEL_AXIS))
+
+
+def multihost_init() -> None:
+    """Initialize the multi-host runtime when launched under a cluster.
+
+    Mirrors the reference's env:// + SLURM rendezvous
+    (/root/reference/train_cls_voxel.py:384-396, train_pure_mlp.py:283-306)
+    with ``jax.distributed.initialize``, which auto-detects cluster envs
+    (SLURM included). No-op for single-host runs.
+    """
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("SLURM_JOB_ID"):
+        jax.distributed.initialize()
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def shard_batch_tree(mesh: Mesh, tree):
+    """Device-put a host batch pytree with its leading dim split over data."""
+    def put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, batch_sharded(mesh, x.ndim))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+@dataclass(frozen=True)
+class ShardingRules:
+    """Shardings for a train step: params/opt replicated, batch data-split."""
+
+    mesh: Mesh
+
+    @property
+    def params(self) -> NamedSharding:
+        return replicated(self.mesh)
+
+    @property
+    def batch(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(DATA_AXIS))
+
+    def batch_spec(self, ndim: int) -> NamedSharding:
+        return batch_sharded(self.mesh, ndim)

@@ -1,0 +1,153 @@
+"""Jitted SPMD train/eval steps.
+
+The reference gives every entry point its own hand-rolled torch loop with DDP
+allreduce (SURVEY §1 L1/L5). Here one generic builder produces a jit-compiled
+train step over a device mesh: batch sharded on the data axis, params/opt
+state replicated, gradient reduction inserted by XLA from the sharding
+annotations (the TPU-native equivalent of DDP's NCCL allreduce, riding ICI).
+
+Losses replicated:
+  * classification CE, optionally class-weighted like torch
+    F.cross_entropy(weight=...) (/root/reference/train_cls_voxel.py:253-256)
+  * per-point segmentation CE (/root/reference/train_partseg.py:165)
+  * LwF joint loss: task CE + lambda * CE(img_pred, argmax(teacher))
+    (/root/reference/train_cls_voxel.py:266, train_partseg_lwf.py:227)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..parallel.mesh import ShardingRules
+from .optim import apply_lr
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any  # {} for BN-free models
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(params, tx, batch_stats=None) -> TrainState:
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats if batch_stats is not None else {},
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def cross_entropy(logits, labels, class_weights=None):
+    """Mean CE; with weights, torch's weighted-mean convention."""
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), labels
+    )
+    if class_weights is None:
+        return jnp.mean(ce)
+    w = class_weights[labels]
+    return jnp.sum(w * ce) / jnp.sum(w)
+
+
+def seg_cross_entropy(logits, labels):
+    """Per-point CE over [B, N, C] logits / [B, N] labels."""
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), labels
+    )
+    return jnp.mean(ce)
+
+
+def make_train_step(
+    model,
+    tx,
+    rules: Optional[ShardingRules] = None,
+    loss_fn: Callable = cross_entropy,
+    class_weights=None,
+    has_batch_stats: bool = False,
+    method=None,
+    donate: bool = True,
+):
+    """Build a jitted (state, batch, lr, rng) -> (state, metrics) step.
+
+    ``batch`` is a dict with 'x' (inputs) and 'y' (integer labels). The model
+    is called in train mode (deterministic=False) with a per-step dropout rng.
+    """
+
+    def step(state: TrainState, batch, lr, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def compute_loss(params):
+            variables = {"params": params}
+            if has_batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                out, mut = model.apply(
+                    variables,
+                    batch["x"],
+                    deterministic=False,
+                    method=method,
+                    rngs={"dropout": rng},
+                    mutable=["batch_stats"],
+                )
+                new_stats = mut["batch_stats"]
+            else:
+                out = model.apply(
+                    variables,
+                    batch["x"],
+                    deterministic=False,
+                    method=method,
+                    rngs={"dropout": rng},
+                )
+                new_stats = state.batch_stats
+            if class_weights is not None:
+                loss = loss_fn(out, batch["y"], class_weights)
+            else:
+                loss = loss_fn(out, batch["y"])
+            return loss, (out, new_stats)
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, apply_lr(updates, lr))
+        pred = jnp.argmax(logits, axis=-1)
+        acc = jnp.mean((pred == batch["y"]).astype(jnp.float32))
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, {"loss": loss, "accuracy": acc}
+
+    if rules is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    state_sh = rules.params
+    batch_sh = rules.batch  # leading-dim sharding broadcast over the dict
+    return jax.jit(
+        step,
+        in_shardings=(state_sh, batch_sh, None, None),
+        out_shardings=(state_sh, state_sh),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model, rules: Optional[ShardingRules] = None, method=None,
+                   has_batch_stats: bool = False):
+    def step(state: TrainState, x):
+        variables = {"params": state.params}
+        if has_batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        return model.apply(variables, x, deterministic=True, method=method)
+
+    if rules is None:
+        return jax.jit(step)
+    return jax.jit(step, in_shardings=(rules.params, rules.batch),
+                   out_shardings=rules.batch)

@@ -1,0 +1,106 @@
+"""Tokenizer parity: patchify-matmul tokenizers vs torch strided-conv oracle.
+
+The oracle is torch.nn.functional.conv3d/conv2d called directly (NOT reference
+code): a Conv3d with kernel == stride is the reference tokenizers' compute
+graph (/root/reference/models/embed_layer_3d_modality.py:147-209), so matching
+it on seed-9 random weights demonstrates tokenizer parity.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from simple3dformer_tpu.nn.voxel_embed import (
+    VoxelEmbed,
+    VoxelEmbedNoAverage,
+    VoxelNaiveProjection,
+    make_embed_layer,
+)
+
+
+def _torch_conv3d_tokens(x_np, w_np, b_np, cell):
+    """Oracle: strided Conv3d, output [B, D, px, py, pz]."""
+    x = torch.from_numpy(x_np)[:, None]  # [B,1,X,Y,Z]
+    w = torch.from_numpy(w_np)  # [D,1,c,c,c]
+    b = torch.from_numpy(b_np)
+    return F.conv3d(x, w, b, stride=cell).numpy()
+
+
+def _params_from_torch(w_np, b_np):
+    # torch [D, 1, cx, cy, cz] -> ours [(cx cy cz), D]
+    D = w_np.shape[0]
+    k = w_np.reshape(D, -1).T.copy()
+    return {"kernel": jnp.asarray(k), "bias": jnp.asarray(b_np)}
+
+
+@pytest.mark.parametrize("V,cell,p", [(30, 6, 5), (128, 9, 14), (32, 16, 2)])
+def test_voxel_embed_matches_conv3d(rng, V, cell, p):
+    B, D = 2, 16
+    x = rng.rand(B, V, V, V).astype(np.float32)
+    w = (rng.randn(D, 1, cell, cell, cell) * 0.1).astype(np.float32)
+    b = (rng.randn(D) * 0.1).astype(np.float32)
+
+    ref = _torch_conv3d_tokens(x, w, b, cell)  # [B,D,p,p,p]
+    ref_mean = ref.mean(axis=4)  # VoxelEmbed: mean over pz
+
+    mod = VoxelEmbed(voxel_size=V, cell_size=cell, patch_size=p, embed_dim=D)
+    out = mod.apply({"params": _params_from_torch(w, b)}, jnp.asarray(x))
+    # ours [B,px,py,D] -> torch layout [B,D,px,py]
+    out = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(out, ref_mean, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("V,cell,p", [(30, 6, 5), (128, 9, 14)])
+def test_voxel_embed_no_average_matches_conv3d(rng, V, cell, p):
+    B, D = 2, 8
+    x = rng.rand(B, V, V, V).astype(np.float32)
+    w = (rng.randn(D, 1, cell, cell, cell) * 0.1).astype(np.float32)
+    b = (rng.randn(D) * 0.1).astype(np.float32)
+
+    ref = _torch_conv3d_tokens(x, w, b, cell)  # [B,D,px,py,pz]
+
+    mod = VoxelEmbedNoAverage(voxel_size=V, cell_size=cell, patch_size=p, embed_dim=D)
+    out = mod.apply({"params": _params_from_torch(w, b)}, jnp.asarray(x))
+    out = np.transpose(np.asarray(out), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_naive_projection_matches_conv2d(rng):
+    B, D, V, cell = 2, 8, 30, 6
+    x = (rng.rand(B, V, V, V) > 0.7).astype(np.float32)
+    w = (rng.randn(D, 1, cell, cell) * 0.1).astype(np.float32)
+    b = (rng.randn(D) * 0.1).astype(np.float32)
+
+    img = np.clip(x.sum(axis=3), 0, 1)[:, None]  # [B,1,X,Y]
+    ref = F.conv2d(torch.from_numpy(img), torch.from_numpy(w),
+                   torch.from_numpy(b), stride=cell).numpy()  # [B,D,p,p]
+
+    mod = VoxelNaiveProjection(voxel_size=V, cell_size=cell, patch_size=5, embed_dim=D)
+    k = w.reshape(D, -1).T.copy()
+    out = mod.apply(
+        {"params": {"kernel": jnp.asarray(k), "bias": jnp.asarray(b)}},
+        jnp.asarray(x),
+    )
+    out = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_registry_token_counts():
+    import jax
+
+    key = jax.random.key(0)
+    x = jnp.zeros((1, 30, 30, 30))
+    emb = make_embed_layer("VoxelEmbed", voxel_size=30, cell_size=6,
+                           patch_size=5, embed_dim=32)
+    params = emb.init(key, x)
+    assert emb.apply(params, x).shape == (1, 5, 5, 32)
+    assert emb.num_patches == 25
+
+    emb3 = make_embed_layer("VoxelEmbed_no_average", voxel_size=30, cell_size=6,
+                            patch_size=5, embed_dim=32)
+    params = emb3.init(key, x)
+    assert emb3.apply(params, x).shape == (1, 5, 5, 5, 32)
+    assert emb3.num_patches == 125
