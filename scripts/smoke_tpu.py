@@ -24,37 +24,69 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--backbone", default="deit_small_patch16_224")
+    ap.add_argument("--model", default="voxel_vit",
+                    choices=["voxel_vit", "hengshuang", "point_vit"])
     args = ap.parse_args()
 
     print("devices:", jax.devices())
     mesh = make_mesh()
     rules = ShardingRules(mesh)
-
-    emb = make_embed_layer("VoxelEmbed", voxel_size=30, cell_size=6,
-                           patch_size=5, embed_dim=384)
-    model = VoxelViT(voxel_embed=emb, n_classes=40,
-                     transformer_backbone=args.backbone)
-
     key = jax.random.key(9)
-    x0 = jnp.zeros((2, 30, 30, 30))
-    img0 = jnp.zeros((2, 224, 224, 3))
-    variables = model.init(key, x0, img0, method=model.init_all)
+    rng = np.random.RandomState(9)
+    has_bn = False
+
+    if args.model == "voxel_vit":
+        emb = make_embed_layer("VoxelEmbed", voxel_size=30, cell_size=6,
+                               patch_size=5, embed_dim=384)
+        model = VoxelViT(voxel_embed=emb, n_classes=40,
+                         transformer_backbone=args.backbone)
+        x0 = jnp.zeros((2, 30, 30, 30))
+        img0 = jnp.zeros((2, 224, 224, 3))
+        # jit the init: eager init dispatches thousands of tiny ops, which is
+        # unusable over the high-latency TPU tunnel
+        variables = jax.jit(lambda k, a, b: model.init(k, a, b, method=model.init_all))(
+            key, x0, img0
+        )
+        mask_fn = frozen_mask
+
+        def make_batch():
+            xb = (rng.rand(args.batch, 30, 30, 30) > 0.8).astype(np.float32)
+            yb = rng.randint(0, 40, size=(args.batch,)).astype(np.int32)
+            return {"x": xb, "y": yb}
+    else:
+        npoint = 256
+        if args.model == "hengshuang":
+            from simple3dformer_tpu.models.hengshuang import PointTransformerCls
+
+            model = PointTransformerCls(num_point=npoint, num_class=40,
+                                        input_dim=6, nblocks=4, nneighbor=16)
+        else:
+            from simple3dformer_tpu.models.point_vit import PointViT
+
+            model = PointViT(variant="3DViT", task="cls", num_point=npoint,
+                             num_class=40, input_dim=6, nneighbor=16,
+                             transformer_backbone="deit_tiny_patch16_224")
+        x0 = jnp.zeros((2, npoint, 6))
+        variables = jax.jit(model.init)(key, x0)
+        has_bn = "batch_stats" in variables
+        mask_fn = lambda p, pretrained: None
+
+        def make_batch():
+            xb = rng.randn(args.batch, npoint, 6).astype(np.float32)
+            yb = rng.randint(0, 40, size=(args.batch,)).astype(np.int32)
+            return {"x": xb, "y": yb}
+
     params = variables["params"]
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     print(f"params: {n_params/1e6:.2f}M")
 
-    tx = make_optimizer("Adam", trainable_mask=frozen_mask(params, pretrained=True))
-    state = create_train_state(params, tx)
+    tx = make_optimizer("Adam", trainable_mask=mask_fn(params, True))
+    state = create_train_state(params, tx, variables.get("batch_stats"))
     state = jax.device_put(state, rules.params)
-    step = make_train_step(model, tx, rules)
+    step = make_train_step(model, tx, rules, has_batch_stats=has_bn)
 
-    rng = np.random.RandomState(9)
     # fixed synthetic dataset of 4 batches so the model can overfit
-    batches = []
-    for _ in range(4):
-        xb = (rng.rand(args.batch, 30, 30, 30) > 0.8).astype(np.float32)
-        yb = rng.randint(0, 40, size=(args.batch,)).astype(np.int32)
-        batches.append({"x": xb, "y": yb})
+    batches = [make_batch() for _ in range(4)]
 
     lr = epoch_lr(1e-3, 0, warmup=True)
     losses = []

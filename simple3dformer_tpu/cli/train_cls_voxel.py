@@ -1,0 +1,218 @@
+"""Voxel classification CLI — mirrors /root/reference/train_cls_voxel.py.
+
+Same argparse surface (flag names preserved: --data-root, --batchSize,
+--epochs, --dataset, --model-name, --transformer-name, --pretrained, --lwf,
+--reweighted, --head, --embed-layer, --cell-size, --patch-size,
+--pos-embedding, --lr, --lr-step-size, --lr-gamma), same recipe (Adam +
+StepLR + untuned linear warmup dampened per epoch, CE with optional class
+weights, OA + mean-class-accuracy eval, best-checkpoint save).
+
+TPU-native execution model replacing the reference's mp.spawn + NCCL DDP:
+one SPMD process, a (data, model) mesh over every chip, the full voxel corpus
+staged HBM-resident (uint8), whole epochs dispatched as one lax.scan'd jit
+program. `--gpus/-n/--rank/--port` style process plumbing is replaced by
+`jax.distributed.initialize` auto-detection (parallel/mesh.py).
+
+Without the corpora on disk, `--synthetic N` trains on generated occupancy
+grids (CI / bench mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core import checkpoint as ckpt_lib
+from ..core.rng import DEFAULT_SEED
+from ..data import datasets
+from ..data.classmaps import CLASSES_ModelNet10, CLASSES_ModelNet40, CLASSES_SHAPENET
+from ..data.pipeline import DeviceResidentDataset
+from ..models.voxel_vit import VoxelViT, frozen_mask
+from ..nn.vit import EMBED_DIM
+from ..nn.voxel_embed import make_embed_layer
+from ..parallel.mesh import ShardingRules, make_mesh, multihost_init
+from ..train.eval_metrics import ClassificationMeter
+from ..train.loop import (
+    create_train_state,
+    make_scanned_eval,
+    make_scanned_train_steps,
+)
+from ..train.optim import epoch_lr, make_optimizer
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--data-root", type=str, default="./data/ShapeNetCore_v2")
+    p.add_argument("--batchSize", type=int, default=32)
+    p.add_argument("--outf", type=str, default="./cls")
+    p.add_argument("--model", type=str, default="", help="checkpoint path to load")
+    p.add_argument("--dataset", type=str, default="ShapeNetV2",
+                   choices=["ModelNet10", "ModelNet40", "ShapeNetV2"])
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--model-name", type=str, default="Voxel3D_2DPretrain")
+    p.add_argument("--transformer-name", type=str, default="deit_base_patch16_224")
+    p.add_argument("--pretrained", action="store_true")
+    p.add_argument("--lwf", action="store_true")
+    p.add_argument("--reweighted", action="store_true")
+    p.add_argument("--head", default="default", type=str)
+    p.add_argument("--embed-layer", type=str, default="VoxelEmbed")
+    p.add_argument("--cell-size", type=int, default=16)
+    p.add_argument("--patch-size", type=int, default=8)
+    p.add_argument("--pos-embedding", type=str, default="default")
+    p.add_argument("--lr", type=float, default=0.05)
+    p.add_argument("--lr-step-size", type=float, default=20)
+    p.add_argument("--lr-gamma", type=float, default=0.5)
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on N synthetic samples instead of reading data")
+    p.add_argument("--seed", type=int, default=DEFAULT_SEED)
+    return p
+
+
+def load_voxel_arrays(args):
+    """Return (train_x, train_y, test_x, test_y, n_classes, voxel_size, weights)."""
+    if args.dataset == "ModelNet10":
+        idx2cls, voxel_size = CLASSES_ModelNet10, 30
+    elif args.dataset == "ModelNet40":
+        idx2cls, voxel_size = CLASSES_ModelNet40, 30
+    else:
+        idx2cls, voxel_size = CLASSES_SHAPENET, 128
+    n_classes = len(idx2cls)
+
+    if args.synthetic:
+        tr_x, tr_y = datasets.synthetic_voxels(args.synthetic, voxel_size, n_classes,
+                                               seed=args.seed)
+        te_x, te_y = datasets.synthetic_voxels(
+            max(args.synthetic // 5, args.batchSize), voxel_size, n_classes,
+            seed=args.seed + 1,
+        )
+        return tr_x, tr_y, te_x, te_y, n_classes, voxel_size, None
+
+    def stack(ds, indices=None):
+        indices = range(len(ds)) if indices is None else indices
+        xs, ys = [], []
+        for i in indices:
+            s = ds[int(i)]
+            xs.append(s["voxel"].astype(np.uint8))
+            ys.append(s["cls_idx"])
+        return np.stack(xs), np.asarray(ys, np.int32)
+
+    weights = None
+    if args.dataset == "ShapeNetV2":
+        ds = datasets.ShapeNetV2VoxelDataset(args.data_root, idx2cls)
+        tr_idx, te_idx = ds.split_train_test(0.8, seed=args.seed)
+        if args.reweighted:
+            weights = ds.class_weight()
+        tr_x, tr_y = stack(ds, tr_idx)
+        te_x, te_y = stack(ds, te_idx)
+    else:
+        tr = datasets.ModelNetVoxelDataset(args.data_root, idx2cls, "train")
+        te = datasets.ModelNetVoxelDataset(args.data_root, idx2cls, "test")
+        if args.reweighted:
+            weights = tr.class_weight()
+        tr_x, tr_y = stack(tr)
+        te_x, te_y = stack(te)
+    return tr_x, tr_y, te_x, te_y, n_classes, voxel_size, weights
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    multihost_init()
+    mesh = make_mesh()
+    rules = ShardingRules(mesh)
+    print(f"devices: {jax.device_count()} | mesh {mesh.shape}")
+
+    tr_x, tr_y, te_x, te_y, n_classes, voxel_size, weights = load_voxel_arrays(args)
+    print(f"train {len(tr_x)} / test {len(te_x)} samples, {n_classes} classes")
+
+    train_ds = DeviceResidentDataset({"x": tr_x, "y": tr_y}, mesh=mesh)
+    test_ds = DeviceResidentDataset({"x": te_x, "y": te_y}, mesh=mesh)
+
+    embed_dim = EMBED_DIM[args.transformer_name]
+    embedding = make_embed_layer(
+        args.embed_layer, voxel_size=voxel_size, cell_size=args.cell_size,
+        patch_size=args.patch_size, embed_dim=embed_dim,
+    )
+    if args.model_name != "Voxel3D_2DPretrain":
+        raise ValueError("Unknown model name!")
+    model = VoxelViT(
+        voxel_embed=embedding,
+        n_classes=n_classes,
+        transformer_backbone=args.transformer_name,
+        pos_embedding=args.pos_embedding,
+        head=args.head,
+    )
+
+    key = jax.random.key(args.seed)
+    variables = jax.jit(
+        lambda k, a, b: model.init(k, a, b, method=model.init_all)
+    )(key, jnp.zeros((2, voxel_size, voxel_size, voxel_size)),
+      jnp.zeros((2, 224, 224, 3)))
+    params = variables["params"]
+    if args.pretrained:
+        from ..utils.torch_convert import maybe_load_deit
+
+        params = maybe_load_deit(params, args.transformer_name)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    print(f"Number of parameters: {n_params / 1e6:.2f}M")
+
+    tx = make_optimizer(
+        "Adam", trainable_mask=frozen_mask(params, args.pretrained)
+    )
+    state = create_train_state(params, tx)
+    state = jax.device_put(state, rules.params)
+
+    cw = jnp.asarray(weights) if weights is not None else None
+    train_run = make_scanned_train_steps(
+        model, tx, train_ds, rules, class_weights=cw
+    )
+    eval_run = make_scanned_eval(model, test_ds, rules)
+
+    out_dir = os.path.join(
+        args.outf, args.model_name, f"{args.embed_layer}_{args.pos_embedding}",
+        args.transformer_name,
+    )
+    ckpt = ckpt_lib.Checkpointer(os.path.join(out_dir, "ckpt"))
+    if args.model:
+        state, _ = ckpt_lib.Checkpointer(args.model).restore(state) or (state, None)
+
+    host_rng = np.random.RandomState(args.seed)
+    eval_idx = test_ds.epoch_indices(args.batchSize, host_rng, shuffle=False,
+                                     drop_last=False)
+    eval_idx = jax.device_put(jnp.asarray(eval_idx), rules.scan_batch)
+
+    best_acc, best_epoch = 0.0, 0
+    for epoch in range(args.epochs):
+        lr = epoch_lr(args.lr, epoch, args.lr_step_size, args.lr_gamma, warmup=True)
+        idx = jax.device_put(
+            jnp.asarray(train_ds.epoch_indices(args.batchSize, host_rng)),
+            rules.scan_batch,
+        )
+        t0 = time.time()
+        state, metrics = train_run(state, idx, lr, key)
+        loss = float(jnp.mean(metrics["loss"]))
+        dt = time.time() - t0
+        sps = idx.shape[0] * idx.shape[1] / dt
+
+        logits = np.asarray(eval_run(state, eval_idx)).reshape(-1, n_classes)
+        meter = ClassificationMeter(n_classes)
+        meter.update(np.argmax(logits[: len(te_y)], -1), te_y)
+        oa, mca = meter.overall_accuracy, meter.mean_class_accuracy
+        print(
+            f"Epoch {epoch} loss {loss:.4f} test accuracy {oa:f}, "
+            f"mean class accuracy {mca:f} ({sps:.1f} samples/sec)"
+        )
+        if oa >= best_acc:
+            best_acc, best_epoch = oa, epoch
+            ckpt.save(epoch, state, {"accuracy": oa, "mean_class_accuracy": mca})
+    print(f"Best test accuracy: epoch {best_epoch} test accuracy {best_acc:f}")
+    return best_acc
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,326 @@
+"""Dataset readers (host side).
+
+Python classes with __len__/__getitem__ mirroring the reference's torch
+Datasets, minus torch: samples come back as numpy. The TPU path does not read
+per-item at step time — `pipeline.DeviceResidentDataset` stages whole datasets
+into HBM once and gathers batches on device (the tunnel/host link is the
+bottleneck, SURVEY §5.1 north-star is samples/sec/chip).
+
+Readers and their reference counterparts:
+  ModelNetVoxelDataset    /root/reference/data/modelnet40.py, modelnet10.py
+  ShapeNetV2VoxelDataset  /root/reference/data/shapenet_v2.py
+  ModelNetPointCloud      /root/reference/data/modelnet40_point_cloud.py
+  PartNormalDataset       /root/reference/data/shapenet_part_seg.py
+  S3DISDataset            /root/reference/data/s3dis.py
+  load_scanobjectnn_h5    /root/reference/data/__init__.py:169-275 (note: the
+      reference's train_cls_scanobjectnn.py imports a nonexistent
+      data.scanobjectnn_data_utils module — latent breakage fixed here by
+      giving the h5 loaders a real home)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import numpy as np
+
+from . import binvox
+from .classmaps import CLASSES_ModelNet40, name2idx
+
+
+def _pc_normalize_np(pc: np.ndarray) -> np.ndarray:
+    centroid = np.mean(pc, axis=0)
+    pc = pc - centroid
+    m = np.max(np.sqrt(np.sum(pc ** 2, axis=1)))
+    return pc / m
+
+
+class ModelNetVoxelDataset:
+    """ModelNet10/40 binvox grids: data_root/<class>/<split>/<class>_<n>.binvox."""
+
+    def __init__(self, data_root: str, idx2cls: dict[int, str], split: str = "train"):
+        self.data_root = data_root
+        self.cls2idx = {v: k for k, v in idx2cls.items()}
+        self.samples: list[str] = []
+        for name in idx2cls.values():
+            for path in sorted(
+                glob.glob(os.path.join(data_root, name, split, "*.binvox"))
+            ):
+                if re.match(r"[a-zA-Z_]+_\d+\.binvox", os.path.basename(path)):
+                    self.samples.append(path)
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx: int):
+        path = self.samples[idx]
+        cls_name = re.split(r"_\d+\.binvox", os.path.basename(path))[0]
+        with open(path, "rb") as f:
+            vox = binvox.read_as_3d_array(f).data.astype(np.int32)
+        return {"voxel": vox, "cls_idx": self.cls2idx[cls_name]}
+
+    def class_weight(self) -> np.ndarray:
+        """1/log1p class-frequency weights (modelnet40.py:50-57)."""
+        labels = [
+            self.cls2idx[re.split(r"_\d+\.binvox", os.path.basename(p))[0]]
+            for p in self.samples
+        ]
+        freq = np.bincount(labels, minlength=len(self.cls2idx))
+        w = 1.0 / np.log1p(1.0 + freq)
+        return (len(w) * w / w.sum()).astype(np.float32)
+
+
+class ShapeNetV2VoxelDataset:
+    """ShapeNetCore.v2 solid binvox: root/<synset>/<model>/models/*.solid.binvox."""
+
+    def __init__(self, data_root: str, idx2cls: dict[int, str]):
+        self.cls2idx = {v: k for k, v in idx2cls.items()}
+        self.samples: list[str] = []
+        for synset in idx2cls.values():
+            self.samples.extend(
+                sorted(
+                    glob.glob(
+                        os.path.join(data_root, synset, "*/models/*.solid.binvox")
+                    )
+                )
+            )
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx: int):
+        path = self.samples[idx]
+        parts = path.split(os.sep)
+        model_id, cls_name = parts[-3], parts[-4]
+        with open(path, "rb") as f:
+            vox = binvox.read_as_3d_array(f).data.astype(np.int32)
+        return {
+            "voxel": vox,
+            "cls_idx": self.cls2idx[cls_name],
+            "model_id": model_id,
+        }
+
+    def class_weight(self) -> np.ndarray:
+        labels = [self.cls2idx[p.split(os.sep)[-4]] for p in self.samples]
+        freq = np.bincount(labels, minlength=len(self.cls2idx))
+        w = 1.0 / np.log1p(1.0 + freq)
+        return (len(w) * w / w.sum()).astype(np.float32)
+
+    def split_train_test(self, frac: float = 0.8, seed: int = 9):
+        """80/20 random split done by the caller in the reference
+        (train_cls_voxel.py:112-114)."""
+        idx = np.random.RandomState(seed).permutation(len(self.samples))
+        cut = int(frac * len(self.samples))
+        return idx[:cut], idx[cut:]
+
+
+class ModelNetPointCloud:
+    """Resampled-txt point clouds with in-RAM cache
+    (modelnet40_point_cloud.py:8-60)."""
+
+    def __init__(self, root: str, npoint: int = 1024, split: str = "train",
+                 uniform: bool = False, normal_channel: bool = True):
+        self.root = root
+        self.npoints = npoint
+        self.uniform = uniform
+        self.normal_channel = normal_channel
+        cat = [l.rstrip() for l in open(os.path.join(root, "modelnet40_shape_names.txt"))]
+        self.classes = {n: i for i, n in enumerate(cat)}
+        ids = [
+            l.rstrip()
+            for l in open(os.path.join(root, f"modelnet40_{split}.txt"))
+        ]
+        names = ["_".join(x.split("_")[0:-1]) for x in ids]
+        self.datapath = [
+            (names[i], os.path.join(root, names[i], ids[i]) + ".txt")
+            for i in range(len(ids))
+        ]
+        self.cache: dict[int, tuple] = {}
+
+    def __len__(self):
+        return len(self.datapath)
+
+    def __getitem__(self, index: int):
+        if index in self.cache:
+            return self.cache[index]
+        name, path = self.datapath[index]
+        cls = np.array([self.classes[name]], dtype=np.int32)
+        # np.loadtxt is ~20x slower than fromstring on these files; the
+        # reference's loadtxt (modelnet40_point_cloud.py:43) starves the
+        # accelerator, so parse with the fast path.
+        with open(path) as f:
+            pts = np.fromstring(f.read().replace("\n", ","), sep=",", dtype=np.float32)
+        pts = pts.reshape(-1, 6)
+        pts = pts[: self.npoints]
+        pts[:, 0:3] = _pc_normalize_np(pts[:, 0:3])
+        if not self.normal_channel:
+            pts = pts[:, 0:3]
+        item = (pts, cls)
+        self.cache[index] = item
+        return item
+
+
+class PartNormalDataset:
+    """ShapeNetPart with per-sample random resample (shapenet_part_seg.py:14-114)."""
+
+    def __init__(self, root: str, npoints: int = 2500, split: str = "train",
+                 class_choice=None, normal_channel: bool = False,
+                 rng: np.random.RandomState | None = None):
+        self.npoints = npoints
+        self.root = root
+        self.normal_channel = normal_channel
+        self.rng = rng if rng is not None else np.random.RandomState()
+
+        self.cat: dict[str, str] = {}
+        with open(os.path.join(root, "synsetoffset2category.txt")) as f:
+            for line in f:
+                name, synset = line.strip().split()
+                self.cat[name] = synset
+        self.classes_original = {n: i for i, n in enumerate(self.cat)}
+        if class_choice is not None:
+            self.cat = {k: v for k, v in self.cat.items() if k in class_choice}
+
+        def ids(fname):
+            with open(os.path.join(root, "train_test_split", fname)) as f:
+                return set(str(d.split("/")[2]) for d in json.load(f))
+
+        train_ids = ids("shuffled_train_file_list.json")
+        val_ids = ids("shuffled_val_file_list.json")
+        test_ids = ids("shuffled_test_file_list.json")
+        want = {
+            "train": train_ids,
+            "val": val_ids,
+            "test": test_ids,
+            "trainval": train_ids | val_ids,
+        }[split]
+
+        self.datapath: list[tuple[str, str]] = []
+        for item, synset in self.cat.items():
+            d = os.path.join(root, synset)
+            for fn in sorted(os.listdir(d)):
+                if fn[0:-4] in want:
+                    self.datapath.append((item, os.path.join(d, fn)))
+        self.classes = {k: self.classes_original[k] for k in self.cat}
+        self.cache: dict[int, tuple] = {}
+
+    def __len__(self):
+        return len(self.datapath)
+
+    def __getitem__(self, index: int):
+        if index in self.cache:
+            pts, cls, seg = self.cache[index]
+        else:
+            cat, path = self.datapath[index]
+            cls = np.array([self.classes[cat]], dtype=np.int32)
+            data = np.loadtxt(path).astype(np.float32)
+            pts = data[:, 0:6] if self.normal_channel else data[:, 0:3]
+            seg = data[:, -1].astype(np.int32)
+            self.cache[index] = (pts, cls, seg)
+        pts = pts.copy()
+        pts[:, 0:3] = _pc_normalize_np(pts[:, 0:3])
+        choice = self.rng.choice(len(seg), self.npoints, replace=True)
+        return pts[choice], cls, seg[choice]
+
+
+class S3DISDataset:
+    """Room-block sampler over per-room npy files (s3dis.py:8-83)."""
+
+    def __init__(self, data_root: str, split: str = "train", num_point: int = 4096,
+                 test_area: int = 5, block_size: float = 1.0,
+                 sample_rate: float = 1.0,
+                 rng: np.random.RandomState | None = None):
+        self.num_point = num_point
+        self.block_size = block_size
+        self.rng = rng if rng is not None else np.random.RandomState()
+        rooms = sorted(r for r in os.listdir(data_root) if "Area_" in r)
+        tag = f"Area_{test_area}"
+        rooms = [r for r in rooms if (tag not in r) == (split == "train")]
+
+        self.room_points, self.room_labels = [], []
+        self.room_coord_max = []
+        counts = []
+        labelweights = np.zeros(13)
+        for room in rooms:
+            data = np.load(os.path.join(data_root, room))
+            pts, lbl = data[:, 0:6], data[:, 6]
+            hist, _ = np.histogram(lbl, range(14))
+            labelweights += hist
+            self.room_points.append(pts)
+            self.room_labels.append(lbl)
+            self.room_coord_max.append(np.amax(pts, axis=0)[:3])
+            counts.append(lbl.size)
+        labelweights = labelweights / labelweights.sum()
+        self.labelweights = np.power(
+            np.amax(labelweights) / np.maximum(labelweights, 1e-12), 1 / 3.0
+        ).astype(np.float32)
+        prob = np.array(counts) / np.sum(counts)
+        num_iter = int(np.sum(counts) * sample_rate / num_point)
+        idxs = []
+        for i in range(len(rooms)):
+            idxs.extend([i] * int(round(prob[i] * num_iter)))
+        self.room_idxs = np.array(idxs)
+
+    def __len__(self):
+        return len(self.room_idxs)
+
+    def __getitem__(self, idx: int):
+        room = self.room_idxs[idx]
+        pts, lbl = self.room_points[room], self.room_labels[room]
+        N = pts.shape[0]
+        while True:
+            center = pts[self.rng.choice(N)][:3]
+            lo = center - [self.block_size / 2, self.block_size / 2, 0]
+            hi = center + [self.block_size / 2, self.block_size / 2, 0]
+            sel = np.where(
+                (pts[:, 0] >= lo[0]) & (pts[:, 0] <= hi[0])
+                & (pts[:, 1] >= lo[1]) & (pts[:, 1] <= hi[1])
+            )[0]
+            if sel.size > 1024:
+                break
+        chosen = self.rng.choice(sel, self.num_point, replace=sel.size < self.num_point)
+        p = pts[chosen].copy()
+        out = np.zeros((self.num_point, 9), dtype=np.float32)
+        out[:, 6] = p[:, 0] / self.room_coord_max[room][0]
+        out[:, 7] = p[:, 1] / self.room_coord_max[room][1]
+        out[:, 8] = p[:, 2] / self.room_coord_max[room][2]
+        p[:, 0] -= center[0]
+        p[:, 1] -= center[1]
+        p[:, 3:6] /= 255.0
+        out[:, 0:6] = p
+        return out, lbl[chosen].astype(np.int32)
+
+
+def load_scanobjectnn_h5(path: str):
+    """Load a ScanObjectNN h5 split: (data [B,N,3], label [B])."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        data = f["data"][:].astype(np.float32)
+        label = f["label"][:].astype(np.int32)
+    return data, label
+
+
+# --------------------------------------------------------------------------
+# synthetic stand-ins (tests / benches without the real corpora on disk)
+# --------------------------------------------------------------------------
+
+
+def synthetic_voxels(n: int, voxel_size: int, n_classes: int, seed: int = 9):
+    rng = np.random.RandomState(seed)
+    x = (rng.rand(n, voxel_size, voxel_size, voxel_size) > 0.85).astype(np.uint8)
+    y = rng.randint(0, n_classes, size=(n,)).astype(np.int32)
+    return x, y
+
+
+def synthetic_points(n: int, npoint: int, channels: int, n_classes: int,
+                     seed: int = 9, seg: bool = False):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, npoint, channels).astype(np.float32)
+    if seg:
+        y = rng.randint(0, n_classes, size=(n, npoint)).astype(np.int32)
+    else:
+        y = rng.randint(0, n_classes, size=(n,)).astype(np.int32)
+    return x, y

@@ -1,0 +1,103 @@
+"""Input pipeline: HBM-resident datasets + host batching/prefetch.
+
+The reference feeds the GPU with torch DataLoader worker processes
+(SURVEY §2.6 "multiprocess data loading"). The TPU-native replacement has two
+modes:
+
+  * DeviceResidentDataset — the 3D corpora here are small (ModelNet40 voxels:
+    12k x 30^3 uint8 ≈ 332 MB; 1024-pt clouds: ~25 MB/1k samples), so the
+    whole set is staged into HBM once and batches are formed by an on-device
+    gather of shuffled indices. Per-step host→device traffic drops to the
+    index vector; augmentation runs inside the jitted step. This is what
+    makes samples/sec/chip a compute number instead of a PCIe/tunnel number.
+
+  * host_batches — classic generator over a __getitem__ dataset for corpora
+    that don't fit (or for parity testing against the reference's loop).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import batch_sharded, replicated
+
+
+class DeviceResidentDataset:
+    """Stage named arrays in device memory; serve batches via on-device gather.
+
+    Arrays are stored flattened to [N, prod(rest)] rows and reshaped after the
+    gather: gathering [B, 30,30,30] uint8 directly makes XLA tile-pad the
+    trailing dims (30 -> 128 lanes, a 4x VMEM blowup that can OOM the scoped
+    vmem); row-major [N, flat] gathers pad only the single trailing dim.
+    """
+
+    def __init__(self, arrays: dict[str, np.ndarray], mesh=None):
+        self.n = len(next(iter(arrays.values())))
+        self.shapes: dict[str, tuple] = {}
+        flat = {}
+        for k, v in arrays.items():
+            if len(v) != self.n:
+                raise ValueError(f"array {k!r} length {len(v)} != {self.n}")
+            v = np.asarray(v)
+            self.shapes[k] = v.shape[1:]
+            flat[k] = v.reshape(self.n, -1) if v.ndim > 1 else v
+        if mesh is not None:
+            # replicate: every chip holds the corpus, gathers are local
+            sharding = replicated(mesh)
+            self.arrays = {
+                k: jax.device_put(jnp.asarray(v), sharding) for k, v in flat.items()
+            }
+        else:
+            self.arrays = {k: jnp.asarray(v) for k, v in flat.items()}
+
+    def __len__(self):
+        return self.n
+
+    def gather(self, idx: jnp.ndarray) -> dict[str, jnp.ndarray]:
+        """idx [B] (or [S,B] for scanned multi-step) -> batch dict."""
+        out = {}
+        for k, v in self.arrays.items():
+            g = jnp.take(v, idx, axis=0)
+            out[k] = g.reshape(*idx.shape, *self.shapes[k])
+        return out
+
+    def epoch_indices(
+        self, batch_size: int, rng: np.random.RandomState, shuffle: bool = True,
+        drop_last: bool = True,
+    ) -> np.ndarray:
+        """[num_batches, batch_size] int32 index matrix for one epoch."""
+        order = rng.permutation(self.n) if shuffle else np.arange(self.n)
+        if drop_last:
+            nb = self.n // batch_size
+            order = order[: nb * batch_size]
+        else:
+            pad = (-len(order)) % batch_size
+            order = np.concatenate([order, order[:pad]])
+        return order.reshape(-1, batch_size).astype(np.int32)
+
+
+def host_batches(
+    dataset, batch_size: int, rng: np.random.RandomState | None = None,
+    shuffle: bool = True, drop_last: bool = False,
+) -> Iterator[list]:
+    """Simple host-side batch iterator over a __getitem__/__len__ dataset."""
+    n = len(dataset)
+    order = rng.permutation(n) if (shuffle and rng is not None) else np.arange(n)
+    for start in range(0, n, batch_size):
+        idx = order[start : start + batch_size]
+        if drop_last and len(idx) < batch_size:
+            return
+        yield [dataset[int(i)] for i in idx]
+
+
+def collate(samples: list, keys: tuple[str, ...] | None = None):
+    """Stack a list of dict or tuple samples into batched numpy arrays."""
+    if isinstance(samples[0], dict):
+        keys = keys or tuple(samples[0].keys())
+        return {k: np.stack([s[k] for s in samples]) for k in keys}
+    n_fields = len(samples[0])
+    return tuple(np.stack([s[i] for s in samples]) for i in range(n_fields))

@@ -88,3 +88,8 @@ class ShardingRules:
 
     def batch_spec(self, ndim: int) -> NamedSharding:
         return batch_sharded(self.mesh, ndim)
+
+    @property
+    def scan_batch(self) -> NamedSharding:
+        """[steps, batch] index matrices: shard the batch dim, not steps."""
+        return NamedSharding(self.mesh, P(None, DATA_AXIS))

@@ -139,6 +139,119 @@ def make_train_step(
     )
 
 
+def make_scanned_train_steps(
+    model,
+    tx,
+    dataset,
+    rules: Optional[ShardingRules] = None,
+    loss_fn: Callable = cross_entropy,
+    class_weights=None,
+    has_batch_stats: bool = False,
+    augment_fn: Optional[Callable] = None,
+    x_key: str = "x",
+    y_key: str = "y",
+    x_dtype=jnp.float32,
+):
+    """Run many train steps per dispatch with an HBM-resident dataset.
+
+    Returns jitted (state, idx [S,B], lr, rng) -> (state, metrics [S]).
+    Each scan iteration gathers its batch on device from `dataset`
+    (a data.pipeline.DeviceResidentDataset), optionally augments it with
+    ``augment_fn(key, x)`` inside the step, and applies one optimizer update.
+    One dispatch per S steps amortizes host link latency to nothing — the
+    TPU-native answer to the reference's DataLoader worker pool.
+    """
+
+    def one_step(state: TrainState, idx, lr, rng):
+        batch = dataset.gather(idx)
+        x = batch[x_key].astype(x_dtype)
+        y = batch[y_key]
+        key = jax.random.fold_in(rng, state.step)
+        if augment_fn is not None:
+            kaug, key = jax.random.split(key)
+            x = augment_fn(kaug, x)
+
+        def compute_loss(params):
+            variables = {"params": params}
+            if has_batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                out, mut = model.apply(
+                    variables, x, deterministic=False,
+                    rngs={"dropout": key}, mutable=["batch_stats"],
+                )
+                new_stats = mut["batch_stats"]
+            else:
+                out = model.apply(
+                    variables, x, deterministic=False, rngs={"dropout": key}
+                )
+                new_stats = state.batch_stats
+            if class_weights is not None:
+                loss = loss_fn(out, y, class_weights)
+            else:
+                loss = loss_fn(out, y)
+            return loss, (out, new_stats)
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, apply_lr(updates, lr))
+        acc = jnp.mean((jnp.argmax(logits, axis=-1) == y).astype(jnp.float32))
+        return (
+            state.replace(
+                params=new_params, batch_stats=new_stats,
+                opt_state=new_opt, step=state.step + 1,
+            ),
+            {"loss": loss, "accuracy": acc},
+        )
+
+    def run(state: TrainState, idx_matrix, lr, rng):
+        def body(carry, idx):
+            new_state, metrics = one_step(carry, idx, lr, rng)
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, idx_matrix)
+
+    donate = (0,)
+    if rules is None:
+        return jax.jit(run, donate_argnums=donate)
+    return jax.jit(
+        run,
+        in_shardings=(rules.params, rules.scan_batch, None, None),
+        out_shardings=(rules.params, rules.params),
+        donate_argnums=donate,
+    )
+
+
+def make_scanned_eval(
+    model,
+    dataset,
+    rules: Optional[ShardingRules] = None,
+    has_batch_stats: bool = False,
+    x_key: str = "x",
+    x_dtype=jnp.float32,
+):
+    """Jitted (state, idx [S,B]) -> logits [S,B,...]: batched eval in one
+    dispatch over an HBM-resident dataset (mirrors the reference's rank-0
+    eval loop, entirely on device)."""
+
+    def run(state: TrainState, idx_matrix):
+        variables = {"params": state.params}
+        if has_batch_stats:
+            variables["batch_stats"] = state.batch_stats
+
+        def body(_, idx):
+            x = dataset.gather(idx)[x_key].astype(x_dtype)
+            return None, model.apply(variables, x, deterministic=True)
+
+        _, logits = jax.lax.scan(body, None, idx_matrix)
+        return logits
+
+    if rules is None:
+        return jax.jit(run)
+    return jax.jit(run, in_shardings=(rules.params, rules.scan_batch))
+
+
 def make_eval_step(model, rules: Optional[ShardingRules] = None, method=None,
                    has_batch_stats: bool = False):
     def step(state: TrainState, x):

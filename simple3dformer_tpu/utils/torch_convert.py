@@ -1,0 +1,144 @@
+"""DeiT torch-checkpoint -> JAX parameter conversion.
+
+The reference downloads FB DeiT .pth checkpoints by URL and loads them into
+timm VisionTransformer modules (/root/reference/models/vit_3d_2d_pretrain.py:399-432,
+models/DeIT.py:67-153). This environment is zero-egress, so conversion reads a
+local .pth (torch CPU is available) and maps the timm layout onto our trees:
+
+  torch (timm)                          ours (flax)
+  patch_embed.proj.weight [D,C,P,P]  -> patch_embed/kernel [(P*P*C), D]
+  patch_embed.proj.bias              -> patch_embed/bias
+  cls_token / pos_embed              -> cls_token / pos_embed
+  blocks.N.norm{1,2}.{weight,bias}   -> core/blocks_N/norm{1,2}/{scale,bias}
+  blocks.N.attn.qkv.{weight,bias}    -> core/blocks_N/attn/qkv/{kernel.T,bias}
+  blocks.N.attn.proj.*               -> core/blocks_N/attn/proj/*
+  blocks.N.mlp.fc{1,2}.*             -> core/blocks_N/mlp/fc{1,2}/*
+  norm.{weight,bias}                 -> core/norm/{scale,bias}
+  head.{weight,bias}                 -> head/{kernel.T,bias}
+
+Like the reference's partial load ("except pos_embed and last layer" filter at
+vit_3d_2d_pretrain.py:411-413), keys absent from the target tree are skipped.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import warnings
+
+import numpy as np
+
+CKPT_DIR_ENV = "DEIT_CKPT_DIR"
+DEFAULT_CKPT_DIR = "./weights"
+
+
+def load_torch_state_dict(path: str) -> dict:
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model" in obj:
+        obj = obj["model"]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in obj.items()}
+
+
+def torch_to_jax_tree(sd: dict) -> dict:
+    """Convert a timm-VisionTransformer state dict to our nested param dict."""
+    out: dict = {}
+
+    def put(path: list[str], value: np.ndarray):
+        node = out
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = value
+
+    for key, v in sd.items():
+        if key == "cls_token":
+            put(["cls_token"], v.astype(np.float32))
+        elif key == "pos_embed":
+            put(["pos_embed"], v.astype(np.float32))
+        elif key == "patch_embed.proj.weight":
+            D = v.shape[0]
+            # [D, C, P, P] -> [P, P, C, D] -> [(P P C), D]
+            k = np.transpose(v, (2, 3, 1, 0)).reshape(-1, D)
+            put(["patch_embed", "kernel"], k.astype(np.float32))
+        elif key == "patch_embed.proj.bias":
+            put(["patch_embed", "bias"], v.astype(np.float32))
+        elif key in ("norm.weight", "norm.bias"):
+            put(["core", "norm", "scale" if key.endswith("weight") else "bias"],
+                v.astype(np.float32))
+        elif key in ("head.weight", "head.bias"):
+            if key.endswith("weight"):
+                put(["head", "kernel"], v.T.astype(np.float32))
+            else:
+                put(["head", "bias"], v.astype(np.float32))
+        else:
+            m = re.match(r"blocks\.(\d+)\.(.+)", key)
+            if not m:
+                continue  # dist_token, head_dist, ... not used
+            i, rest = int(m.group(1)), m.group(2)
+            base = ["core", f"blocks_{i}"]
+            if rest.startswith("norm"):
+                which, kind = rest.split(".")
+                put(base + [which, "scale" if kind == "weight" else "bias"],
+                    v.astype(np.float32))
+            elif rest.startswith("attn.") or rest.startswith("mlp."):
+                _, layer, kind = rest.split(".")
+                group = "attn" if rest.startswith("attn.") else "mlp"
+                if kind == "weight":
+                    put(base + [group, layer, "kernel"], v.T.astype(np.float32))
+                else:
+                    put(base + [group, layer, "bias"], v.astype(np.float32))
+    return out
+
+
+def merge_into(params: dict, loaded: dict, prefix: str = "") -> tuple[dict, list]:
+    """Recursively copy loaded leaves whose path+shape match params."""
+    merged = {}
+    applied = []
+    for k, v in params.items():
+        path = f"{prefix}/{k}" if prefix else k
+        if k in loaded:
+            lv = loaded[k]
+            if isinstance(v, dict) and isinstance(lv, dict):
+                sub, subapplied = merge_into(v, lv, path)
+                merged[k] = sub
+                applied.extend(subapplied)
+                continue
+            if not isinstance(v, dict) and np.shape(lv) == np.shape(v):
+                import jax.numpy as jnp
+
+                merged[k] = jnp.asarray(lv, dtype=v.dtype)
+                applied.append(path)
+                continue
+        merged[k] = v
+    return merged, applied
+
+
+def find_checkpoint(backbone: str) -> str | None:
+    d = os.environ.get(CKPT_DIR_ENV, DEFAULT_CKPT_DIR)
+    for name in (f"{backbone}.pth", f"{backbone}.pt"):
+        path = os.path.join(d, name)
+        if os.path.exists(path):
+            return path
+    return None
+
+
+def maybe_load_deit(params: dict, backbone: str):
+    """Load 2D-pretrained weights into a model tree if a local .pth exists.
+
+    Zero-egress-safe: if no checkpoint file is found, returns params unchanged
+    with a warning (training then starts from random init, i.e. the
+    reference's --pretrained=False path).
+    """
+    path = find_checkpoint(backbone)
+    if path is None:
+        warnings.warn(
+            f"No local checkpoint for {backbone} (set ${CKPT_DIR_ENV}); "
+            "continuing with random init."
+        )
+        return params
+    loaded = torch_to_jax_tree(load_torch_state_dict(path))
+    merged, applied = merge_into(dict(params), loaded)
+    print(f"loaded {len(applied)} tensors from {path}")
+    return merged
