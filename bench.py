@@ -66,12 +66,9 @@ def main():
     global_batch = BATCH * n_chips
 
     def dispatch(state):
-        idx = jax.device_put(
-            jnp.asarray(
-                rng.randint(0, N_SAMPLES, size=(STEPS_PER_DISPATCH, global_batch),
-                            ).astype(np.int32)
-            ),
-            rules.scan_batch,
+        idx = rules.put_scan_idx(
+            rng.randint(0, N_SAMPLES, size=(STEPS_PER_DISPATCH, global_batch))
+            .astype(np.int32)
         )
         state, metrics = run(state, idx, 1e-3, jax.random.key(0))
         jax.block_until_ready(metrics["loss"])

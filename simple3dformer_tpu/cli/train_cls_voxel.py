@@ -168,9 +168,38 @@ def main(argv=None):
     state = jax.device_put(state, rules.params)
 
     cw = jnp.asarray(weights) if weights is not None else None
-    train_run = make_scanned_train_steps(
-        model, tx, train_ds, rules, class_weights=cw
-    )
+    if args.lwf:
+        # LwF branch (/root/reference/train_cls_voxel.py:238-268): frozen DeiT
+        # teacher + ImageNet-val images zipped with the voxel batches.
+        from ..nn.vit import make_teacher
+        from ..train.lwf import make_scanned_lwf_train_steps
+        from ..utils.torch_convert import maybe_load_deit
+        from .train_partseg_lwf import load_images
+
+        class _ImgCfg:
+            synthetic = args.synthetic or 256
+            seed = args.seed
+            imagenet_data_path = "./data/ImageNet/ILSVRC/Data/CLS-LOC"
+
+        images = load_images(_ImgCfg)
+        image_ds = DeviceResidentDataset({"images": images}, mesh=mesh)
+        teacher = make_teacher("deit_base_patch16_224")
+        t_vars = jax.jit(teacher.init)(jax.random.key(0),
+                                       jnp.zeros((1, 224, 224, 3)))
+        t_params = maybe_load_deit(t_vars["params"], "deit_base_patch16_224")
+        lwf_run = make_scanned_lwf_train_steps(
+            model, teacher, t_params, tx, train_ds, image_ds, rules,
+            lambda_weight=0.1,
+        )
+
+        def train_run(state, idx, lr, key, _rng=np.random.RandomState(args.seed)):
+            img_idx = _rng.randint(0, len(image_ds), size=idx.shape).astype(np.int32)
+            return lwf_run(state, idx, rules.put_scan_idx(img_idx), lr, key)
+
+    else:
+        train_run = make_scanned_train_steps(
+            model, tx, train_ds, rules, class_weights=cw
+        )
     eval_run = make_scanned_eval(model, test_ds, rules)
 
     out_dir = os.path.join(
@@ -184,15 +213,12 @@ def main(argv=None):
     host_rng = np.random.RandomState(args.seed)
     eval_idx = test_ds.epoch_indices(args.batchSize, host_rng, shuffle=False,
                                      drop_last=False)
-    eval_idx = jax.device_put(jnp.asarray(eval_idx), rules.scan_batch)
+    eval_idx = rules.put_scan_idx(eval_idx)
 
     best_acc, best_epoch = 0.0, 0
     for epoch in range(args.epochs):
         lr = epoch_lr(args.lr, epoch, args.lr_step_size, args.lr_gamma, warmup=True)
-        idx = jax.device_put(
-            jnp.asarray(train_ds.epoch_indices(args.batchSize, host_rng)),
-            rules.scan_batch,
-        )
+        idx = rules.put_scan_idx(train_ds.epoch_indices(args.batchSize, host_rng))
         t0 = time.time()
         state, metrics = train_run(state, idx, lr, key)
         loss = float(jnp.mean(metrics["loss"]))

@@ -64,7 +64,7 @@ def read_as_coord_array(fp, fix_coords: bool = True) -> Voxels:
     """Decode to a 3xN array of occupied voxel coordinates."""
     dims, translate, scale = read_header(fp)
     raw = np.frombuffer(fp.read(), dtype=np.uint8)
-    values, counts = raw[::2].astype(bool), raw[1::2]
+    values, counts = raw[::2].astype(bool), raw[1::2].astype(np.int64)
     ends = np.cumsum(counts)
     starts = np.concatenate(([0], ends[:-1]))
     # linear indices of all occupied voxels (vectorized run expansion)

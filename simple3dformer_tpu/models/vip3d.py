@@ -1,0 +1,214 @@
+"""ViP-3D: Vision Permutator for voxel grids (3D MLP-mixer).
+
+Reference: /root/reference/models/vip_3d.py. WeightedPermuteMLP mixes along
+H / W / Z / C with segment reshapes and a softmax reweight gate; stages of
+PermutatorBlocks with optional Conv3d Downsample between them; optional PEG
+positional conv (PosCNN) after the first block of each stage; mean-pool head.
+
+Reference quirks mirrored on purpose:
+  * the Z-axis mix reuses mlp_w — mlp_z exists but is never called
+    (vip_3d.py:76). We replicate (and do not create the dead mlp_z params).
+  * the axis-mix reshape chain assumes a cubic token grid (H == W == Z) and
+    H * (C // segment_dim) == C, i.e. H == segment_dim at each stage
+    (true for every published vip3d_* config).
+
+TPU notes: every mix is a reshape + one Dense over the folded last axis — all
+MXU matmuls; the downsample convs have kernel == stride and lower to
+patchify-matmul like the voxel tokenizers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.layers import DropPath, Mlp, dense
+
+
+class WeightedPermuteMLP(nn.Module):
+    """Axis-mixing MLP with a 4-way softmax reweight gate (vip_3d.py:43-88)."""
+
+    segment_dim: int = 8
+    qkv_bias: bool = False
+    proj_drop: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        B, H, W, Z, C = x.shape
+        seg = self.segment_dim
+        S = C // seg
+        T = C // H
+
+        mlp_h = dense(C, use_bias=self.qkv_bias, dtype=self.dtype, name="mlp_h")
+        mlp_w = dense(C, use_bias=self.qkv_bias, dtype=self.dtype, name="mlp_w")
+        mlp_c = dense(C, use_bias=self.qkv_bias, dtype=self.dtype, name="mlp_c")
+
+        h = x.reshape(B, H, W, Z, seg, S).transpose(0, 4, 3, 2, 1, 5)
+        h = mlp_h(h.reshape(B, seg, Z, W, H * S))
+        h = h.reshape(B, seg, Z, W, H, T).transpose(0, 4, 3, 2, 1, 5)
+        h = h.reshape(B, H, W, Z, C)
+
+        w = x.reshape(B, H, W, Z, seg, S).transpose(0, 1, 4, 3, 2, 5)
+        w = mlp_w(w.reshape(B, H, seg, Z, W * S))
+        w = w.reshape(B, H, seg, Z, W, T).transpose(0, 1, 4, 3, 2, 5)
+        w = w.reshape(B, H, W, Z, C)
+
+        # Z mix reuses mlp_w — reference quirk (vip_3d.py:75-76)
+        z = x.reshape(B, H, W, Z, seg, S).transpose(0, 2, 1, 4, 3, 5)
+        z = mlp_w(z.reshape(B, W, H, seg, Z * S))
+        z = z.reshape(B, W, H, seg, Z, T).transpose(0, 2, 1, 4, 3, 5)
+        z = z.reshape(B, H, W, Z, C)
+
+        c = mlp_c(x)
+
+        a = jnp.mean((h + w + z + c).reshape(B, -1, C), axis=1)  # [B, C]
+        a = Mlp(hidden_features=C // 3, out_features=C * 4, dtype=self.dtype,
+                name="reweight")(a, deterministic=deterministic)
+        a = a.reshape(B, C, 4).transpose(2, 0, 1)
+        a = jax.nn.softmax(a, axis=0)[:, :, None, None, None, :]
+
+        out = h * a[0] + w * a[1] + z * a[2] + c * a[3]
+        out = dense(C, dtype=self.dtype, name="proj")(out)
+        return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+
+
+class PermutatorBlock(nn.Module):
+    segment_dim: int
+    mlp_ratio: float = 3.0
+    qkv_bias: bool = False
+    drop_path: float = 0.0
+    skip_lam: float = 1.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        C = x.shape[-1]
+        h = nn.LayerNorm(name="norm1")(x)
+        h = WeightedPermuteMLP(
+            segment_dim=self.segment_dim, qkv_bias=self.qkv_bias,
+            dtype=self.dtype, name="attn",
+        )(h, deterministic=deterministic)
+        x = x + DropPath(self.drop_path)(h, deterministic=deterministic) / self.skip_lam
+        h = nn.LayerNorm(name="norm2")(x)
+        h = Mlp(hidden_features=int(C * self.mlp_ratio), out_features=C,
+                dtype=self.dtype, name="mlp")(h, deterministic=deterministic)
+        x = x + DropPath(self.drop_path)(h, deterministic=deterministic) / self.skip_lam
+        return x
+
+
+class Downsample(nn.Module):
+    """Conv3d(k=s=patch) between stages (vip_3d.py:125-136) as patchify-matmul."""
+
+    out_dim: int
+    patch: int = 2
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, Z, C = x.shape
+        p = self.patch
+        if p == 1:
+            return dense(self.out_dim, use_bias=False, dtype=self.dtype,
+                         name="proj")(x)
+        g = H // p
+        x = x.reshape(B, g, p, g, p, g, p, C)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(B, g, g, g, p ** 3 * C)
+        return dense(self.out_dim, use_bias=False, dtype=self.dtype, name="proj")(x)
+
+
+class PosCNN(nn.Module):
+    """PEG positional encoding: depthwise Conv3d k3 s1 + residual
+    (vip_3d.py:155-169, from Twins)."""
+
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, Z, C = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, 3, 1, C)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1, 1, 1), padding="SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=C,
+        ) + bias
+        return y + x
+
+
+VIP3D_CONFIGS = {
+    # layers, transitions, segment_dim, mlp_ratios, embed_dims (vip_3d.py:269-318)
+    "vip3d_s7": dict(layers=[4, 3, 8, 3], transitions=[True, False, False, False],
+                     segment_dim=[8, 4, 4, 4], mlp_ratios=[3, 3, 3, 3],
+                     embed_dims=[192, 384, 384, 384]),
+    "vip3d_s14": dict(layers=[4, 3, 8, 3], transitions=[False, False, False, False],
+                      segment_dim=[8, 8, 8, 8], mlp_ratios=[3, 3, 3, 3],
+                      embed_dims=[384, 384, 384, 384]),
+    "vip3d_m7": dict(layers=[4, 3, 14, 3], transitions=[False, True, False, False],
+                     segment_dim=[8, 8, 4, 4], mlp_ratios=[3, 3, 3, 3],
+                     embed_dims=[256, 256, 512, 512]),
+    "vip3d_l7": dict(layers=[8, 8, 16, 4], transitions=[True, False, False, False],
+                     segment_dim=[8, 4, 4, 4], mlp_ratios=[3, 3, 3, 3],
+                     embed_dims=[256, 512, 512, 512]),
+}
+
+
+class VisionPermutator3D(nn.Module):
+    """Stages of PermutatorBlocks over a [B,H,W,Z,C] voxel-token volume."""
+
+    embed_layer: Any  # VoxelEmbedNoAverage-like module -> [B,p,p,p,C]
+    layers: Sequence[int]
+    embed_dims: Sequence[int]
+    transitions: Sequence[bool]
+    segment_dim: Sequence[int]
+    mlp_ratios: Sequence[float]
+    num_classes: int = 1000
+    skip_lam: float = 1.0
+    qkv_bias: bool = False
+    drop_path_rate: float = 0.0
+    pos_embedding: Optional[str] = None  # None | 'PEG'
+    dtype: Optional[jnp.dtype] = None
+
+    @classmethod
+    def from_name(cls, name: str, embed_layer, num_classes: int, **kw):
+        return cls(embed_layer=embed_layer, num_classes=num_classes,
+                   **VIP3D_CONFIGS[name], **kw)
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        """x [B, V, V, V] occupancy -> [B, num_classes]."""
+        x = self.embed_layer(x)  # [B, p, p, p, C]
+        total = sum(self.layers)
+        done = 0
+        for i, n_blocks in enumerate(self.layers):
+            for b in range(n_blocks):
+                dpr = self.drop_path_rate * (done + b) / max(total - 1, 1)
+                x = PermutatorBlock(
+                    segment_dim=self.segment_dim[i],
+                    mlp_ratio=self.mlp_ratios[i],
+                    qkv_bias=self.qkv_bias,
+                    drop_path=dpr,
+                    skip_lam=self.skip_lam,
+                    dtype=self.dtype,
+                    name=f"stage{i}_block{b}",
+                )(x, deterministic=deterministic)
+                if self.pos_embedding == "PEG" and b == 0:
+                    x = PosCNN(dtype=self.dtype, name=f"stage{i}_peg")(x)
+            done += n_blocks
+            if i < len(self.layers) - 1 and (
+                self.transitions[i] or self.embed_dims[i] != self.embed_dims[i + 1]
+            ):
+                patch = 2 if self.transitions[i] else 1
+                x = Downsample(self.embed_dims[i + 1], patch, dtype=self.dtype,
+                               name=f"downsample{i}")(x)
+        B = x.shape[0]
+        x = x.reshape(B, -1, x.shape[-1])
+        x = nn.LayerNorm(name="norm")(x)
+        return dense(self.num_classes, dtype=self.dtype, name="head")(
+            jnp.mean(x, axis=1)
+        )

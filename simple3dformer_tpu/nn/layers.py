@@ -80,6 +80,10 @@ class Attention(nn.Module):
 
         attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
         attn = jax.nn.softmax(attn, axis=-1)
+        # exposed for attention-rollout visualization (the reference's forward
+        # hooks on blk.attn, visualize_attention_map_voxel.py:144); only
+        # materialized when apply() is called with mutable=['intermediates']
+        self.sow("intermediates", "attn", attn)
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
 

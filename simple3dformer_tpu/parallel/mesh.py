@@ -93,3 +93,16 @@ class ShardingRules:
     def scan_batch(self) -> NamedSharding:
         """[steps, batch] index matrices: shard the batch dim, not steps."""
         return NamedSharding(self.mesh, P(None, DATA_AXIS))
+
+    def put_scan_idx(self, idx):
+        """Place a [steps, batch] index matrix: batch-sharded over the data
+        axis when divisible, replicated otherwise (tiny-batch fallback —
+        correct everywhere, parallel when it can be)."""
+        import jax
+        import jax.numpy as jnp
+
+        idx = jnp.asarray(idx)
+        n = self.mesh.shape[DATA_AXIS]
+        if idx.shape[1] % n == 0:
+            return jax.device_put(idx, self.scan_batch)
+        return jax.device_put(idx, replicated(self.mesh))

@@ -148,6 +148,7 @@ def make_scanned_train_steps(
     class_weights=None,
     has_batch_stats: bool = False,
     augment_fn: Optional[Callable] = None,
+    prepare_fn: Optional[Callable] = None,
     x_key: str = "x",
     y_key: str = "y",
     x_dtype=jnp.float32,
@@ -164,8 +165,12 @@ def make_scanned_train_steps(
 
     def one_step(state: TrainState, idx, lr, rng):
         batch = dataset.gather(idx)
-        x = batch[x_key].astype(x_dtype)
-        y = batch[y_key]
+        if prepare_fn is not None:
+            x, y = prepare_fn(batch)
+            x = x.astype(x_dtype)
+        else:
+            x = batch[x_key].astype(x_dtype)
+            y = batch[y_key]
         key = jax.random.fold_in(rng, state.step)
         if augment_fn is not None:
             kaug, key = jax.random.split(key)
@@ -217,7 +222,7 @@ def make_scanned_train_steps(
         return jax.jit(run, donate_argnums=donate)
     return jax.jit(
         run,
-        in_shardings=(rules.params, rules.scan_batch, None, None),
+        in_shardings=(rules.params, None, None, None),
         out_shardings=(rules.params, rules.params),
         donate_argnums=donate,
     )
@@ -228,6 +233,7 @@ def make_scanned_eval(
     dataset,
     rules: Optional[ShardingRules] = None,
     has_batch_stats: bool = False,
+    prepare_fn: Optional[Callable] = None,
     x_key: str = "x",
     x_dtype=jnp.float32,
 ):
@@ -241,7 +247,12 @@ def make_scanned_eval(
             variables["batch_stats"] = state.batch_stats
 
         def body(_, idx):
-            x = dataset.gather(idx)[x_key].astype(x_dtype)
+            batch = dataset.gather(idx)
+            if prepare_fn is not None:
+                x, _ = prepare_fn(batch)
+                x = x.astype(x_dtype)
+            else:
+                x = batch[x_key].astype(x_dtype)
             return None, model.apply(variables, x, deterministic=True)
 
         _, logits = jax.lax.scan(body, None, idx_matrix)
@@ -249,7 +260,7 @@ def make_scanned_eval(
 
     if rules is None:
         return jax.jit(run)
-    return jax.jit(run, in_shardings=(rules.params, rules.scan_batch))
+    return jax.jit(run, in_shardings=(rules.params, None))
 
 
 def make_eval_step(model, rules: Optional[ShardingRules] = None, method=None,

@@ -1,0 +1,129 @@
+"""Learning-without-Forgetting training: 3D task loss + 2D teacher distillation.
+
+Reference: /root/reference/train_cls_voxel.py:238-268 and
+train_partseg_lwf.py:198-231. Per step, zip a 3D batch with an image batch;
+loss = task_CE + lambda * CE(student.forward_images(imgs),
+argmax(teacher(imgs))). The teacher is a frozen true-head-count DeiT
+(models/DeIT.py); its forward runs under stop_gradient inside the same jit
+program — no separate inference service, XLA overlaps both passes.
+
+Scanned variant: both the 3D corpus and the ImageNet subset live HBM-resident;
+each scan iteration gathers one batch from each by index (mirroring the
+per-epoch random Subset of the reference, train_partseg_lwf.py:194-195).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..parallel.mesh import ShardingRules
+from .loop import TrainState, cross_entropy
+from .optim import apply_lr
+
+IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
+IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
+
+
+def normalize_images(u8_images: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [B,H,W,3] -> normalized float (torchvision transform parity)."""
+    x = u8_images.astype(jnp.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def make_scanned_lwf_train_steps(
+    model,
+    teacher,
+    teacher_params,
+    tx,
+    task_ds,
+    image_ds,
+    rules: Optional[ShardingRules] = None,
+    task_loss_fn: Callable = cross_entropy,
+    lambda_weight: float = 0.1,
+    has_batch_stats: bool = False,
+    augment_fn: Optional[Callable] = None,
+    prepare_fn: Optional[Callable] = None,
+    x_dtype=jnp.float32,
+    x_key: str = "x",
+    y_key: str = "y",
+):
+    """Jitted (state, task_idx [S,B], img_idx [S,M], lr, rng) -> (state, metrics)."""
+
+    def one_step(state: TrainState, task_idx, img_idx, lr, rng):
+        batch = task_ds.gather(task_idx)
+        if prepare_fn is not None:
+            x, y = prepare_fn(batch)
+            x = x.astype(x_dtype)
+        else:
+            x = batch[x_key].astype(x_dtype)
+            y = batch[y_key]
+        images = normalize_images(image_ds.gather(img_idx)["images"])
+        key = jax.random.fold_in(rng, state.step)
+        if augment_fn is not None:
+            kaug, key = jax.random.split(key)
+            x = augment_fn(kaug, x)
+
+        # teacher labels (frozen, no grad)
+        t_logits = teacher.apply({"params": teacher_params}, images)
+        t_labels = jax.lax.stop_gradient(jnp.argmax(t_logits, axis=-1))
+
+        def compute_loss(params):
+            variables = {"params": params}
+            mut = []
+            if has_batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mut = ["batch_stats"]
+            out = model.apply(
+                variables, x, deterministic=False,
+                rngs={"dropout": key}, mutable=mut or False,
+            )
+            if mut:
+                out, muts = out
+                new_stats = muts["batch_stats"]
+            else:
+                new_stats = state.batch_stats
+            task_loss = task_loss_fn(out, y)
+            img_pred = model.apply(
+                variables if not has_batch_stats else {
+                    "params": params, "batch_stats": new_stats
+                },
+                images,
+                deterministic=False,
+                rngs={"dropout": key},
+                method=model.forward_images,
+            )
+            lwf_loss = cross_entropy(img_pred, t_labels)
+            return task_loss + lambda_weight * lwf_loss, (
+                out, new_stats, task_loss, lwf_loss
+            )
+
+        (loss, (logits, new_stats, task_loss, lwf_loss)), grads = (
+            jax.value_and_grad(compute_loss, has_aux=True)(state.params)
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, apply_lr(updates, lr))
+        return (
+            state.replace(params=new_params, batch_stats=new_stats,
+                          opt_state=new_opt, step=state.step + 1),
+            {"loss": loss, "task_loss": task_loss, "lwf_loss": lwf_loss},
+        )
+
+    def run(state, task_idx_matrix, img_idx_matrix, lr, rng):
+        def body(carry, idxs):
+            t_idx, i_idx = idxs
+            return one_step(carry, t_idx, i_idx, lr, rng)
+
+        return jax.lax.scan(body, state, (task_idx_matrix, img_idx_matrix))
+
+    if rules is None:
+        return jax.jit(run, donate_argnums=(0,))
+    return jax.jit(
+        run,
+        in_shardings=(rules.params, None, None, None, None),
+        out_shardings=(rules.params, rules.params),
+        donate_argnums=(0,),
+    )
