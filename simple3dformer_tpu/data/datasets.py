@@ -293,6 +293,91 @@ class S3DISDataset:
         return out, lbl[chosen].astype(np.int32)
 
 
+class S3DISWholeScene:
+    """Sliding-window whole-scene eval blocks (s3dis.py:85-171,
+    ScannetDatasetWholeScene): per room, overlapping block_size windows at
+    `stride`, each padded/shuffled to multiples of block_points; returns
+    (data [M, block_points, 9], labels, sample_weight, point indices) so
+    predictions can be scattered back onto the full room cloud."""
+
+    def __init__(self, root: str, block_points: int = 4096, split: str = "test",
+                 test_area: int = 5, stride: float = 0.5, block_size: float = 1.0,
+                 padding: float = 0.001,
+                 rng: np.random.RandomState | None = None):
+        self.block_points = block_points
+        self.block_size = block_size
+        self.stride = stride
+        self.padding = padding
+        self.rng = rng if rng is not None else np.random.RandomState()
+        tag = f"Area_{test_area}"
+        files = sorted(f for f in os.listdir(root) if f.endswith(".npy"))
+        files = [f for f in files if (tag in f) == (split == "test")]
+        self.scene_points_list, self.semantic_labels_list = [], []
+        labelweights = np.zeros(13)
+        for f in files:
+            data = np.load(os.path.join(root, f))
+            self.scene_points_list.append(data[:, :6])
+            self.semantic_labels_list.append(data[:, 6])
+            hist, _ = np.histogram(data[:, 6], range(14))
+            labelweights += hist
+        labelweights = labelweights / labelweights.sum()
+        self.labelweights = np.power(
+            np.amax(labelweights) / np.maximum(labelweights, 1e-12), 1 / 3.0
+        ).astype(np.float32)
+
+    def __len__(self):
+        return len(self.scene_points_list)
+
+    def __getitem__(self, index: int):
+        points = self.scene_points_list[index]
+        labels = self.semantic_labels_list[index]
+        cmin = np.amin(points[:, :3], axis=0)
+        cmax = np.amax(points[:, :3], axis=0)
+        bs, st = self.block_size, self.stride
+        gx = int(np.ceil((cmax[0] - cmin[0] - bs) / st) + 1)
+        gy = int(np.ceil((cmax[1] - cmin[1] - bs) / st) + 1)
+        datas, lbls, weights, idxs = [], [], [], []
+        for iy in range(gy):
+            for ix in range(gx):
+                e_x = min(cmin[0] + ix * st + bs, cmax[0])
+                s_x = e_x - bs
+                e_y = min(cmin[1] + iy * st + bs, cmax[1])
+                s_y = e_y - bs
+                sel = np.where(
+                    (points[:, 0] >= s_x - self.padding)
+                    & (points[:, 0] <= e_x + self.padding)
+                    & (points[:, 1] >= s_y - self.padding)
+                    & (points[:, 1] <= e_y + self.padding)
+                )[0]
+                if sel.size == 0:
+                    continue
+                n_batch = int(np.ceil(sel.size / self.block_points))
+                size = n_batch * self.block_points
+                extra = self.rng.choice(
+                    sel, size - sel.size, replace=size - sel.size > sel.size
+                )
+                sel = np.concatenate([sel, extra])
+                self.rng.shuffle(sel)
+                block = points[sel].copy()
+                norm = np.zeros((size, 3))
+                norm[:, 0] = block[:, 0] / cmax[0]
+                norm[:, 1] = block[:, 1] / cmax[1]
+                norm[:, 2] = block[:, 2] / cmax[2]
+                block[:, 0] -= s_x + bs / 2.0
+                block[:, 1] -= s_y + bs / 2.0
+                block[:, 3:6] /= 255.0
+                datas.append(np.concatenate([block, norm], axis=1))
+                lab = labels[sel].astype(int)
+                lbls.append(lab)
+                weights.append(self.labelweights[lab])
+                idxs.append(sel)
+        data_room = np.concatenate(datas).reshape(-1, self.block_points, 9)
+        label_room = np.concatenate(lbls).reshape(-1, self.block_points)
+        weight_room = np.concatenate(weights).reshape(-1, self.block_points)
+        index_room = np.concatenate(idxs).reshape(-1, self.block_points)
+        return data_room, label_room, weight_room, index_room
+
+
 def load_scanobjectnn_h5(path: str):
     """Load a ScanObjectNN h5 split: (data [B,N,3], label [B])."""
     import h5py

@@ -111,9 +111,11 @@ class ViT2D(nn.Module):
     patch_size: int = 16
     num_classes: int = 1000
     img_size: int = 224
+    distilled: bool = False  # DeiT distilled variants (models/DeIT.py:23-64)
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
+        n_extra = 2 if self.distilled else 1
         n_patches = (self.img_size // self.patch_size) ** 2
         self.patch_embed = PatchEmbed2D(
             patch_size=self.patch_size, embed_dim=self.embed_dim, dtype=self.dtype
@@ -121,8 +123,14 @@ class ViT2D(nn.Module):
         self.cls_token = self.param(
             "cls_token", trunc_normal_init, (1, 1, self.embed_dim)
         )
+        if self.distilled:
+            self.dist_token = self.param(
+                "dist_token", trunc_normal_init, (1, 1, self.embed_dim)
+            )
+            self.head_dist = dense(self.num_classes, dtype=self.dtype,
+                                   name="head_dist")
         self.pos_embed = self.param(
-            "pos_embed", trunc_normal_init, (1, n_patches + 1, self.embed_dim)
+            "pos_embed", trunc_normal_init, (1, n_patches + n_extra, self.embed_dim)
         )
         self.core = ViTCore(
             depth=self.depth,
@@ -136,15 +144,21 @@ class ViT2D(nn.Module):
 
     def encode(self, x, *, deterministic: bool = True):
         tokens = self.patch_embed(x)
-        cls = jnp.broadcast_to(
-            self.cls_token.astype(tokens.dtype), (tokens.shape[0], 1, tokens.shape[-1])
-        )
-        tokens = jnp.concatenate([cls, tokens], axis=1)
+        B, _, D = tokens.shape
+        cls = jnp.broadcast_to(self.cls_token.astype(tokens.dtype), (B, 1, D))
+        if self.distilled:
+            dist = jnp.broadcast_to(self.dist_token.astype(tokens.dtype), (B, 1, D))
+            tokens = jnp.concatenate([cls, dist, tokens], axis=1)
+        else:
+            tokens = jnp.concatenate([cls, tokens], axis=1)
         tokens = tokens + self.pos_embed.astype(tokens.dtype)
         return self.core(tokens, deterministic=deterministic)
 
     def __call__(self, x, *, deterministic: bool = True):
         feats = self.encode(x, deterministic=deterministic)
+        if self.distilled:
+            # inference-mode DeiT: mean of cls head and distillation head
+            return (self.head(feats[:, 0]) + self.head_dist(feats[:, 1])) / 2.0
         return self.head(feats[:, 0])
 
 

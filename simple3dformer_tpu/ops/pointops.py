@@ -22,10 +22,18 @@ All functions are jit/vmap/scan-safe: static shapes, no host sync.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+
+def _env_switch(name: str) -> bool | None:
+    v = os.environ.get(name)
+    if v is None:
+        return None
+    return v not in ("0", "false", "False")
 
 
 def square_distance(src: jnp.ndarray, dst: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
@@ -49,6 +57,12 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(*idx.shape, C)
 
 
+# FPS backend switch. The batch-vectorized Pallas kernel (kernels/fps.py)
+# measures 2.3-4x over lax.scan standalone (VMEM-resident distance buffer);
+# same tunnel caveat as USE_PALLAS_KNN — opt in with S3F_PALLAS=1.
+USE_PALLAS_FPS: bool | None = None
+
+
 def farthest_point_sample(
     xyz: jnp.ndarray, npoint: int, key: jax.Array | None = None
 ) -> jnp.ndarray:
@@ -63,6 +77,15 @@ def farthest_point_sample(
     else:
         start = jnp.zeros((B,), dtype=jnp.int32)
 
+    use = USE_PALLAS_FPS if USE_PALLAS_FPS is not None else _env_switch("S3F_PALLAS")
+    if use is None:
+        use = False  # see switch comment: tunnel per-call overhead
+    use = use and jax.default_backend() == "tpu" and N >= 256
+    if use:
+        from ..kernels.fps import fps_pallas
+
+        return fps_pallas(xyz, npoint, start=start)
+
     def body(carry, _):
         distance, farthest = carry
         centroid = jnp.take_along_axis(xyz, farthest[:, None, None], axis=1)  # [B,1,3]
@@ -76,11 +99,29 @@ def farthest_point_sample(
     return jnp.transpose(idx)  # [B, npoint]
 
 
+# kNN backend switch. The Pallas fused kernel (kernels/knn.py) measures
+# 13.6x over the XLA dist+top_k at N=4096 standalone, BUT in this
+# tunneled-TPU environment every Mosaic custom call embedded in a jit program
+# pays ~1s of per-invocation overhead, so auto-dispatch is off by default.
+# Opt in with S3F_PALLAS=1 (or set True here) on directly-attached TPUs.
+USE_PALLAS_KNN: bool | None = None
+
+
 def knn_indices(query: jnp.ndarray, points: jnp.ndarray, k: int) -> jnp.ndarray:
     """Indices of the k nearest points for each query. [B,S,3],[B,N,3]->[B,S,k]."""
-    d = square_distance(query, points)
     # torch argsort()[..., :k] silently clamps when k > N; mirror that.
-    _, idx = jax.lax.top_k(-d, min(k, points.shape[1]))
+    k = min(k, points.shape[1])
+    use = USE_PALLAS_KNN if USE_PALLAS_KNN is not None else _env_switch("S3F_PALLAS")
+    if use is None:
+        use = False  # see switch comment: tunnel per-call overhead
+    use = use and jax.default_backend() == "tpu" and points.shape[1] >= 256
+    if use:
+        from ..kernels.knn import knn_pallas
+
+        idx, _ = knn_pallas(query, points, k)
+        return idx
+    d = square_distance(query, points)
+    _, idx = jax.lax.top_k(-d, k)
     return idx
 
 
