@@ -53,6 +53,16 @@ def setup(task: str, argv=None, inject: dict | None = None):
     return cfg, mesh, rules
 
 
+def compute_dtype(cfg):
+    """cfg.dtype: 'bf16'/'bfloat16' -> jnp.bfloat16 compute (params stay f32)."""
+    name = str(cfg.get("dtype", "")).lower()
+    if name in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    if name in ("", "f32", "float32", "none"):
+        return None
+    raise ValueError(f"unknown dtype {name!r}")
+
+
 def run_dir(cfg, task: str) -> str:
     d = os.path.join(
         cfg.get("out_dir", task), str(cfg.model.name),

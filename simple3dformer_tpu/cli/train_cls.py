@@ -55,7 +55,7 @@ def main(argv=None):
     train_ds = C.stage(mesh, x=tr_x, y=tr_y)
     test_ds = C.stage(mesh, x=te_x, y=te_y)
 
-    model = make_point_model(cfg, task="cls")
+    model = make_point_model(cfg, task="cls", dtype=C.compute_dtype(cfg))
     variables, key = C.init_model(model, cfg, jnp.zeros((2, int(cfg.num_point),
                                                          cfg.input_dim)))
     has_bn = "batch_stats" in variables

@@ -71,6 +71,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on N synthetic samples instead of reading data")
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
+    p.add_argument("--dtype", type=str, default="f32", choices=["f32", "bf16"],
+                   help="compute dtype (params stay f32)")
     return p
 
 
@@ -134,18 +136,20 @@ def main(argv=None):
     test_ds = DeviceResidentDataset({"x": te_x, "y": te_y}, mesh=mesh)
 
     embed_dim = EMBED_DIM[args.transformer_name]
-    embedding = make_embed_layer(
-        args.embed_layer, voxel_size=voxel_size, cell_size=args.cell_size,
-        patch_size=args.patch_size, embed_dim=embed_dim,
-    )
     if args.model_name != "Voxel3D_2DPretrain":
         raise ValueError("Unknown model name!")
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else None
+    embedding = make_embed_layer(
+        args.embed_layer, voxel_size=voxel_size, cell_size=args.cell_size,
+        patch_size=args.patch_size, embed_dim=embed_dim, dtype=dtype,
+    )
     model = VoxelViT(
         voxel_embed=embedding,
         n_classes=n_classes,
         transformer_backbone=args.transformer_name,
         pos_embedding=args.pos_embedding,
         head=args.head,
+        dtype=dtype,
     )
 
     key = jax.random.key(args.seed)

@@ -86,7 +86,7 @@ def main(argv=None):
     image_ds = DeviceResidentDataset({"images": images}, mesh=mesh)
     print(f"imagenet subset: {len(images)} images")
 
-    model = make_point_model(cfg, task="seg")
+    model = make_point_model(cfg, task="seg", dtype=C.compute_dtype(cfg))
     variables, key = C.init_model(
         model, cfg, jnp.zeros((2, int(cfg.num_point), cfg.input_dim)),
         with_images=True,

@@ -80,7 +80,8 @@ def main(argv=None):
         torch_mom = max(0.9 * (0.5 ** (epoch // int(cfg.step_size))), 0.01)
         if torch_mom != cur_momentum:
             cur_momentum = torch_mom
-            model = make_point_model(cfg, task="seg", bn_momentum=1.0 - torch_mom)
+            model = make_point_model(cfg, task="seg", bn_momentum=1.0 - torch_mom,
+                                      dtype=C.compute_dtype(cfg))
             if state is None:
                 variables, key = C.init_model(
                     model, cfg, jnp.zeros((2, npoint_of(cfg), INPUT_DIM))

@@ -73,6 +73,33 @@ class ModelNetVoxelDataset:
         return (len(w) * w / w.sum()).astype(np.float32)
 
 
+class ModelNetVoxelContrastive(ModelNetVoxelDataset):
+    """ModelNet voxels + an affine-augmented positive pair
+    (modelnet40.py:60-88 ModelNet40_Constrastive): each sample carries a
+    'contrastive' grid produced by the random affine re-voxelization; falls
+    back to the clean grid if augmentation fails, like the reference."""
+
+    def __init__(self, data_root, idx2cls, split="train",
+                 rng: np.random.RandomState | None = None):
+        super().__init__(data_root, idx2cls, split)
+        self.rng = rng if rng is not None else np.random.RandomState()
+
+    def __getitem__(self, idx: int):
+        from . import voxel_augment
+
+        sample = super().__getitem__(idx)
+        path = self.samples[idx]
+        try:
+            with open(path, "rb") as f:
+                aug = voxel_augment.add_affine_transformation_to_voxel(
+                    f, rng=self.rng
+                )
+            sample["contrastive"] = aug.data.astype(np.int32)
+        except Exception:
+            sample["contrastive"] = sample["voxel"]
+        return sample
+
+
 class ShapeNetV2VoxelDataset:
     """ShapeNetCore.v2 solid binvox: root/<synset>/<model>/models/*.solid.binvox."""
 
