@@ -1,0 +1,112 @@
+"""End-to-end learnability: models must actually fit separable 3D data.
+
+Synthetic but *structured* datasets (distinct geometric shapes per class) —
+training a few epochs must beat chance by a wide margin. This is the
+correctness evidence the reference repo has no analog for (it has no tests).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from simple3dformer_tpu.data.pipeline import DeviceResidentDataset
+from simple3dformer_tpu.models.hengshuang import PointTransformerCls
+from simple3dformer_tpu.models.voxel_vit import VoxelViT
+from simple3dformer_tpu.nn.voxel_embed import VoxelEmbed
+from simple3dformer_tpu.train.loop import (
+    create_train_state,
+    make_scanned_eval,
+    make_scanned_train_steps,
+)
+from simple3dformer_tpu.train.optim import make_optimizer
+
+V = 16  # voxel grid
+
+
+def make_shape_voxels(n, rng):
+    """3 visually distinct classes: solid sphere, vertical slabs, cross."""
+    xs = np.zeros((n, V, V, V), np.uint8)
+    ys = rng.randint(0, 3, size=n).astype(np.int32)
+    g = np.stack(np.meshgrid(*[np.arange(V)] * 3, indexing="ij"), -1)
+    for i, c in enumerate(ys):
+        center = rng.randint(5, 11, size=3)
+        r = rng.randint(3, 6)
+        if c == 0:  # sphere
+            m = ((g - center) ** 2).sum(-1) <= r ** 2
+        elif c == 1:  # two parallel x-slabs
+            m = (np.abs(g[..., 0] - center[0]) <= 1) | (
+                np.abs(g[..., 0] - (center[0] + 4) % V) <= 1
+            )
+        else:  # cross of three bars
+            d = np.abs(g - center)
+            m = ((d[..., 0] <= 1) & (d[..., 1] <= 1)) | \
+                ((d[..., 1] <= 1) & (d[..., 2] <= 1)) | \
+                ((d[..., 0] <= 1) & (d[..., 2] <= 1))
+        xs[i] = m
+    return xs, ys
+
+
+def make_shape_points(n, npoint, rng):
+    """3 classes of point clouds: sphere surface, cube surface, line."""
+    xs = np.zeros((n, npoint, 3), np.float32)
+    ys = rng.randint(0, 3, size=n).astype(np.int32)
+    for i, c in enumerate(ys):
+        if c == 0:
+            v = rng.randn(npoint, 3)
+            xs[i] = v / np.linalg.norm(v, axis=1, keepdims=True)
+        elif c == 1:
+            v = rng.uniform(-1, 1, (npoint, 3))
+            ax = rng.randint(0, 3, npoint)
+            v[np.arange(npoint), ax] = np.sign(v[np.arange(npoint), ax])
+            xs[i] = v
+        else:
+            t = rng.uniform(-1, 1, (npoint, 1))
+            xs[i] = t * np.array([1.0, 1.0, 1.0]) + rng.randn(npoint, 3) * 0.02
+    return xs, ys
+
+
+def _train_and_eval(model, variables, ds, test_ds, te_y, epochs, batch, lr,
+                    has_bn=False):
+    tx = make_optimizer("Adam")
+    state = create_train_state(variables["params"], tx,
+                               variables.get("batch_stats"))
+    run = make_scanned_train_steps(model, tx, ds, has_batch_stats=has_bn)
+    ev = make_scanned_eval(model, test_ds, has_batch_stats=has_bn)
+    host = np.random.RandomState(0)
+    for _ in range(epochs):
+        idx = jnp.asarray(ds.epoch_indices(batch, host))
+        state, _ = run(state, idx, lr, jax.random.key(1))
+    eidx = jnp.asarray(test_ds.epoch_indices(batch, host, shuffle=False,
+                                             drop_last=False))
+    logits = np.asarray(ev(state, eidx)).reshape(-1, 3)[: len(te_y)]
+    return float((np.argmax(logits, -1) == te_y).mean())
+
+
+def test_voxel_vit_learns_shapes(rng):
+    tr_x, tr_y = make_shape_voxels(192, rng)
+    te_x, te_y = make_shape_voxels(48, rng)
+    ds = DeviceResidentDataset({"x": tr_x, "y": tr_y})
+    tds = DeviceResidentDataset({"x": te_x, "y": te_y})
+    emb = VoxelEmbed(voxel_size=V, cell_size=4, patch_size=4, embed_dim=192)
+    model = VoxelViT(voxel_embed=emb, n_classes=3,
+                     transformer_backbone="deit_tiny_patch16_224")
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, V, V, V)))
+    # a from-scratch ViT needs a gentle lr (1e-3 is unstable at this scale)
+    acc = _train_and_eval(model, variables, ds, tds, te_y, epochs=25, batch=16,
+                          lr=3e-4)
+    assert acc > 0.8, f"voxel ViT failed to learn separable shapes: acc={acc}"
+
+
+def test_point_transformer_learns_shapes(rng):
+    tr_x, tr_y = make_shape_points(192, 64, rng)
+    te_x, te_y = make_shape_points(48, 64, rng)
+    ds = DeviceResidentDataset({"x": tr_x, "y": tr_y})
+    tds = DeviceResidentDataset({"x": te_x, "y": te_y})
+    model = PointTransformerCls(num_point=64, num_class=3, input_dim=3,
+                                nblocks=2, nneighbor=8, transformer_dim=64)
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, 64, 3)))
+    acc = _train_and_eval(model, variables, ds, tds, te_y, epochs=8, batch=16,
+                          lr=1e-3, has_bn=True)
+    assert acc > 0.8, f"point transformer failed to learn shapes: acc={acc}"
