@@ -75,7 +75,10 @@ def main(dtype=None, batch=BATCH, quiet=False):
             .astype(np.int32)
         )
         state, metrics = run(state, idx, 1e-3, jax.random.key(0))
-        jax.block_until_ready(metrics["loss"])
+        # true synchronization: fetch a scalar. On the tunneled axon backend
+        # block_until_ready can return before the computation finishes, which
+        # silently inflates throughput numbers.
+        float(metrics["loss"][-1])
         return state
 
     for _ in range(WARMUP_DISPATCHES):

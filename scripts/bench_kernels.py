@@ -15,13 +15,20 @@ from simple3dformer_tpu.kernels.knn import knn_pallas
 from simple3dformer_tpu.ops import pointops
 
 
+def _sync(out):
+    """True device sync: fetch one element (block_until_ready can return
+    early on the tunneled axon backend)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+
+
 def timeit(fn, *args, iters=20):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.time()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+        _sync(out)
     return (time.time() - t0) / iters * 1e3  # ms
 
 

@@ -59,8 +59,16 @@ class DeviceResidentDataset:
 
     def gather(self, idx: jnp.ndarray) -> dict[str, jnp.ndarray]:
         """idx [B] (or [S,B] for scanned multi-step) -> batch dict."""
+        return self.gather_from(self.arrays, idx)
+
+    def gather_from(self, arrays: dict, idx: jnp.ndarray) -> dict[str, jnp.ndarray]:
+        """Gather from an explicitly-passed flat-array dict (same layout as
+        self.arrays). Used by the jitted train/eval builders, which must take
+        the corpus as a jit *argument* — a closure-captured jnp array would be
+        baked into the HLO as a constant (a 100s-of-MB program that overflows
+        compile-payload limits)."""
         out = {}
-        for k, v in self.arrays.items():
+        for k, v in arrays.items():
             g = jnp.take(v, idx, axis=0)
             out[k] = g.reshape(*idx.shape, *self.shapes[k])
         return out

@@ -69,6 +69,7 @@ class PointViT(nn.Module):
     transformer_backbone: str = "deit_tiny_patch16_224"
     head: str = "default"
     img_size: int = 224
+    scan_blocks: bool = False  # see nn.vit.ViTCore
     bn_momentum: float = 0.9
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
@@ -127,6 +128,7 @@ class PointViT(nn.Module):
             num_heads=bb["num_heads"],
             mlp_ratio=bb["mlp_ratio"],
             qkv_bias=bb["qkv_bias"],
+            scan_blocks=self.scan_blocks,
             dtype=self.dtype,
             name="core",
         )

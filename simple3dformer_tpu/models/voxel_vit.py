@@ -83,6 +83,7 @@ class VoxelViT(nn.Module):
     pos_embedding: Optional[str] = "default"
     head: str = "default"  # or "AMSoftmax"
     img_size: int = 224
+    scan_blocks: bool = False  # see nn.vit.ViTCore
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -100,6 +101,7 @@ class VoxelViT(nn.Module):
             num_heads=cfg["num_heads"],
             mlp_ratio=cfg["mlp_ratio"],
             qkv_bias=cfg["qkv_bias"],
+            scan_blocks=self.scan_blocks,
             dtype=self.dtype,
             name="core",
         )

@@ -41,8 +41,45 @@ TEACHER_BACKBONES = {
 EMBED_DIM = {name: cfg["embed_dim"] for name, cfg in BACKBONES.items()}
 
 
+class _BlockStep(nn.Module):
+    """One transformer block shaped for nn.scan: (carry, _) -> (carry, None)."""
+
+    num_heads: int
+    mlp_ratio: float
+    qkv_bias: bool
+    drop: float
+    attn_drop: float
+    drop_path: float
+    deterministic: bool
+    dtype: Optional[jnp.dtype]
+
+    @nn.compact
+    def __call__(self, x, _):
+        x = Block(
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias,
+            drop=self.drop,
+            attn_drop=self.attn_drop,
+            drop_path=self.drop_path,
+            dtype=self.dtype,
+            name="block",
+        )(x, deterministic=self.deterministic)
+        return x, None
+
+
 class ViTCore(nn.Module):
-    """The shared block stack + final LayerNorm (timm `blocks` + `norm`)."""
+    """The shared block stack + final LayerNorm (timm `blocks` + `norm`).
+
+    ``scan_blocks=True`` stacks the depth-identical blocks along a leading
+    layer axis and runs them with nn.scan — the compiled program contains ONE
+    block body instead of `depth` unrolled copies (12x smaller HLO, much
+    faster XLA compiles; useful where program size is capped). Param tree:
+    core/scan/block/... with a leading [depth] dim. The default is unrolled
+    (core/blocks_i/...): at this framework's tiny sequence lengths the
+    unrolled program runs ~1.6x faster (XLA fuses across block boundaries);
+    measured 9.8k vs 6.2k samples/sec/chip on the flagship config.
+    """
 
     depth: int = 12
     num_heads: int = 12
@@ -51,21 +88,41 @@ class ViTCore(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    scan_blocks: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        for i in range(self.depth):
-            x = Block(
+        if self.scan_blocks:
+            scanned = nn.scan(
+                _BlockStep,
+                variable_axes={"params": 0, "intermediates": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.depth,
+            )(
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias,
                 drop=self.drop,
                 attn_drop=self.attn_drop,
                 drop_path=self.drop_path,
+                deterministic=deterministic,
                 dtype=self.dtype,
-                name=f"blocks_{i}",
-            )(x, deterministic=deterministic)
+                name="scan",
+            )
+            x, _ = scanned(x, None)
+        else:
+            for i in range(self.depth):
+                x = Block(
+                    num_heads=self.num_heads,
+                    mlp_ratio=self.mlp_ratio,
+                    qkv_bias=self.qkv_bias,
+                    drop=self.drop,
+                    attn_drop=self.attn_drop,
+                    drop_path=self.drop_path,
+                    dtype=self.dtype,
+                    name=f"blocks_{i}",
+                )(x, deterministic=deterministic)
         return nn.LayerNorm(epsilon=1e-6, name="norm")(x)
 
 
@@ -112,6 +169,7 @@ class ViT2D(nn.Module):
     num_classes: int = 1000
     img_size: int = 224
     distilled: bool = False  # DeiT distilled variants (models/DeIT.py:23-64)
+    scan_blocks: bool = False
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -137,6 +195,7 @@ class ViT2D(nn.Module):
             num_heads=self.num_heads,
             mlp_ratio=self.mlp_ratio,
             qkv_bias=self.qkv_bias,
+            scan_blocks=self.scan_blocks,
             dtype=self.dtype,
             name="core",
         )
@@ -162,7 +221,8 @@ class ViT2D(nn.Module):
         return self.head(feats[:, 0])
 
 
-def make_teacher(backbone: str = "deit_base_patch16_224", dtype=None) -> ViT2D:
+def make_teacher(backbone: str = "deit_base_patch16_224", dtype=None,
+                 scan_blocks: bool = False) -> ViT2D:
     """Frozen 2D teacher for LwF (/root/reference/train_cls_voxel.py:180)."""
     cfg = TEACHER_BACKBONES[backbone]
     return ViT2D(
@@ -172,5 +232,6 @@ def make_teacher(backbone: str = "deit_base_patch16_224", dtype=None) -> ViT2D:
         mlp_ratio=cfg["mlp_ratio"],
         qkv_bias=cfg["qkv_bias"],
         patch_size=cfg["patch_size"],
+        scan_blocks=scan_blocks,
         dtype=dtype,
     )

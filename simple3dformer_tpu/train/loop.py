@@ -163,8 +163,8 @@ def make_scanned_train_steps(
     TPU-native answer to the reference's DataLoader worker pool.
     """
 
-    def one_step(state: TrainState, idx, lr, rng):
-        batch = dataset.gather(idx)
+    def one_step(state: TrainState, arrays, idx, lr, rng):
+        batch = dataset.gather_from(arrays, idx)
         if prepare_fn is not None:
             x, y = prepare_fn(batch)
             x = x.astype(x_dtype)
@@ -210,22 +210,29 @@ def make_scanned_train_steps(
             {"loss": loss, "accuracy": acc},
         )
 
-    def run(state: TrainState, idx_matrix, lr, rng):
+    def run(state: TrainState, arrays, idx_matrix, lr, rng):
         def body(carry, idx):
-            new_state, metrics = one_step(carry, idx, lr, rng)
+            new_state, metrics = one_step(carry, arrays, idx, lr, rng)
             return new_state, metrics
 
         return jax.lax.scan(body, state, idx_matrix)
 
-    donate = (0,)
+    # The corpus is a jit ARGUMENT (not a captured constant): closure-captured
+    # jnp arrays are embedded into the HLO and can overflow program limits.
     if rules is None:
-        return jax.jit(run, donate_argnums=donate)
-    return jax.jit(
-        run,
-        in_shardings=(rules.params, None, None, None),
-        out_shardings=(rules.params, rules.params),
-        donate_argnums=donate,
-    )
+        jitted = jax.jit(run, donate_argnums=(0,))
+    else:
+        jitted = jax.jit(
+            run,
+            in_shardings=(rules.params, rules.params, None, None, None),
+            out_shardings=(rules.params, rules.params),
+            donate_argnums=(0,),
+        )
+
+    def call(state, idx_matrix, lr, rng):
+        return jitted(state, dataset.arrays, idx_matrix, lr, rng)
+
+    return call
 
 
 def make_scanned_eval(
@@ -241,13 +248,13 @@ def make_scanned_eval(
     dispatch over an HBM-resident dataset (mirrors the reference's rank-0
     eval loop, entirely on device)."""
 
-    def run(state: TrainState, idx_matrix):
+    def run(state: TrainState, arrays, idx_matrix):
         variables = {"params": state.params}
         if has_batch_stats:
             variables["batch_stats"] = state.batch_stats
 
         def body(_, idx):
-            batch = dataset.gather(idx)
+            batch = dataset.gather_from(arrays, idx)
             if prepare_fn is not None:
                 x, _ = prepare_fn(batch)
                 x = x.astype(x_dtype)
@@ -259,8 +266,14 @@ def make_scanned_eval(
         return logits
 
     if rules is None:
-        return jax.jit(run)
-    return jax.jit(run, in_shardings=(rules.params, None))
+        jitted = jax.jit(run)
+    else:
+        jitted = jax.jit(run, in_shardings=(rules.params, rules.params, None))
+
+    def call(state, idx_matrix):
+        return jitted(state, dataset.arrays, idx_matrix)
+
+    return call
 
 
 def make_eval_step(model, rules: Optional[ShardingRules] = None, method=None,

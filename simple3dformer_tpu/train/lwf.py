@@ -53,15 +53,17 @@ def make_scanned_lwf_train_steps(
 ):
     """Jitted (state, task_idx [S,B], img_idx [S,M], lr, rng) -> (state, metrics)."""
 
-    def one_step(state: TrainState, task_idx, img_idx, lr, rng):
-        batch = task_ds.gather(task_idx)
+    def one_step(state: TrainState, task_arrays, img_arrays, task_idx, img_idx, lr, rng):
+        batch = task_ds.gather_from(task_arrays, task_idx)
         if prepare_fn is not None:
             x, y = prepare_fn(batch)
             x = x.astype(x_dtype)
         else:
             x = batch[x_key].astype(x_dtype)
             y = batch[y_key]
-        images = normalize_images(image_ds.gather(img_idx)["images"])
+        images = normalize_images(
+            image_ds.gather_from(img_arrays, img_idx)["images"]
+        )
         key = jax.random.fold_in(rng, state.step)
         if augment_fn is not None:
             kaug, key = jax.random.split(key)
@@ -112,18 +114,28 @@ def make_scanned_lwf_train_steps(
             {"loss": loss, "task_loss": task_loss, "lwf_loss": lwf_loss},
         )
 
-    def run(state, task_idx_matrix, img_idx_matrix, lr, rng):
+    def run(state, task_arrays, img_arrays, task_idx_matrix, img_idx_matrix,
+            lr, rng):
         def body(carry, idxs):
             t_idx, i_idx = idxs
-            return one_step(carry, t_idx, i_idx, lr, rng)
+            return one_step(carry, task_arrays, img_arrays, t_idx, i_idx, lr, rng)
 
         return jax.lax.scan(body, state, (task_idx_matrix, img_idx_matrix))
 
+    # corpora as jit arguments (see train/loop.py note on captured constants)
     if rules is None:
-        return jax.jit(run, donate_argnums=(0,))
-    return jax.jit(
-        run,
-        in_shardings=(rules.params, None, None, None, None),
-        out_shardings=(rules.params, rules.params),
-        donate_argnums=(0,),
-    )
+        jitted = jax.jit(run, donate_argnums=(0,))
+    else:
+        jitted = jax.jit(
+            run,
+            in_shardings=(rules.params, rules.params, rules.params,
+                          None, None, None, None),
+            out_shardings=(rules.params, rules.params),
+            donate_argnums=(0,),
+        )
+
+    def call(state, task_idx_matrix, img_idx_matrix, lr, rng):
+        return jitted(state, task_ds.arrays, image_ds.arrays,
+                      task_idx_matrix, img_idx_matrix, lr, rng)
+
+    return call

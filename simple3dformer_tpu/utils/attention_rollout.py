@@ -33,6 +33,8 @@ def capture_attention(model, variables, x, method=None):
                     walk(v)
 
     walk(inter["intermediates"])
+    if len(maps) == 1 and maps[0].ndim == 5:
+        return out, maps[0]  # scanned core: already stacked [L, B, H, N, N]
     return out, jnp.stack(maps)
 
 

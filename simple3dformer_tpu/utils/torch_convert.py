@@ -42,8 +42,13 @@ def load_torch_state_dict(path: str) -> dict:
             for k, v in obj.items()}
 
 
-def torch_to_jax_tree(sd: dict) -> dict:
-    """Convert a timm-VisionTransformer state dict to our nested param dict."""
+def torch_to_jax_tree(sd: dict, scan_blocks: bool = False) -> dict:
+    """Convert a timm-VisionTransformer state dict to our nested param dict.
+
+    ``scan_blocks=True`` stacks the per-block
+    weights along a leading [depth] axis under core/scan/block/...;
+    False emits per-block core/blocks_i/... entries.
+    """
     out: dict = {}
 
     def put(path: list[str], value: np.ndarray):
@@ -72,10 +77,17 @@ def torch_to_jax_tree(sd: dict) -> dict:
                 put(["head", "kernel"], v.T.astype(np.float32))
             else:
                 put(["head", "bias"], v.astype(np.float32))
+        elif key == "dist_token":
+            put(["dist_token"], v.astype(np.float32))
+        elif key in ("head_dist.weight", "head_dist.bias"):
+            if key.endswith("weight"):
+                put(["head_dist", "kernel"], v.T.astype(np.float32))
+            else:
+                put(["head_dist", "bias"], v.astype(np.float32))
         else:
             m = re.match(r"blocks\.(\d+)\.(.+)", key)
             if not m:
-                continue  # dist_token, head_dist, ... not used
+                continue
             i, rest = int(m.group(1)), m.group(2)
             base = ["core", f"blocks_{i}"]
             if rest.startswith("norm"):
@@ -89,6 +101,21 @@ def torch_to_jax_tree(sd: dict) -> dict:
                     put(base + [group, layer, "kernel"], v.T.astype(np.float32))
                 else:
                     put(base + [group, layer, "bias"], v.astype(np.float32))
+
+    if scan_blocks and "core" in out:
+        core = out["core"]
+        block_names = sorted(
+            (k for k in core if k.startswith("blocks_")),
+            key=lambda s: int(s.split("_")[1]),
+        )
+        if block_names:
+            def stack(trees):
+                if isinstance(trees[0], dict):
+                    return {k: stack([t[k] for t in trees]) for k in trees[0]}
+                return np.stack(trees)
+
+            stacked = stack([core.pop(b) for b in block_names])
+            core["scan"] = {"block": stacked}
     return out
 
 
@@ -138,7 +165,8 @@ def maybe_load_deit(params: dict, backbone: str):
             "continuing with random init."
         )
         return params
-    loaded = torch_to_jax_tree(load_torch_state_dict(path))
+    scan_blocks = "scan" in params.get("core", {})  # auto-detect core layout
+    loaded = torch_to_jax_tree(load_torch_state_dict(path), scan_blocks=scan_blocks)
     merged, applied = merge_into(dict(params), loaded)
     print(f"loaded {len(applied)} tensors from {path}")
     return merged

@@ -32,8 +32,8 @@ def test_bf16_training_decreases_loss(rng):
     state = create_train_state(variables["params"], tx)
     step = make_train_step(model, tx)
     losses = []
-    for _ in range(6):
-        state, m = step(state, {"x": x, "y": y}, 1e-3, jax.random.key(1))
+    for _ in range(10):
+        state, m = step(state, {"x": x, "y": y}, 3e-4, jax.random.key(1))
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
