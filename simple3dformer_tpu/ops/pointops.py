@@ -58,8 +58,9 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 # FPS backend switch. The batch-vectorized Pallas kernel (kernels/fps.py)
-# measures 2.3-4x over lax.scan standalone (VMEM-resident distance buffer);
-# same tunnel caveat as USE_PALLAS_KNN — opt in with S3F_PALLAS=1.
+# keeps xyz + the running distance VMEM-resident across all iterations
+# (~1.2x net win at B=32,N=1024, larger once the per-dispatch floor is
+# excluded); same tunnel caveat as USE_PALLAS_KNN — opt in with S3F_PALLAS=1.
 USE_PALLAS_FPS: bool | None = None
 
 
@@ -99,11 +100,12 @@ def farthest_point_sample(
     return jnp.transpose(idx)  # [B, npoint]
 
 
-# kNN backend switch. The Pallas fused kernel (kernels/knn.py) measures
-# 13.6x over the XLA dist+top_k at N=4096 standalone, BUT in this
-# tunneled-TPU environment every Mosaic custom call embedded in a jit program
-# pays ~1s of per-invocation overhead, so auto-dispatch is off by default.
-# Opt in with S3F_PALLAS=1 (or set True here) on directly-attached TPUs.
+# kNN backend switch. The Pallas fused kernel (kernels/knn.py) removes the
+# [B,S,N] HBM distance tensor; measured ~17x compute win over the XLA
+# dist+top_k at B=8,N=4096 (69ms -> 4ms net of this environment's ~33ms
+# dispatch floor). BUT embedded in a jit program on this tunneled TPU, every
+# Mosaic custom call pays ~1s of per-invocation overhead, so auto-dispatch is
+# off by default. Opt in with S3F_PALLAS=1 on directly-attached TPUs.
 USE_PALLAS_KNN: bool | None = None
 
 
