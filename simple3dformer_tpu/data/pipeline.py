@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel.mesh import batch_sharded, replicated
+from ..parallel.mesh import replicated
 
 
 class DeviceResidentDataset:

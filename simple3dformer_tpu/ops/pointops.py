@@ -23,7 +23,6 @@ All functions are jit/vmap/scan-safe: static shapes, no host sync.
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp

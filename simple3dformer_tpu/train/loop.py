@@ -16,14 +16,12 @@ Losses replicated:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from ..parallel.mesh import ShardingRules
 from .optim import apply_lr
