@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from ..core import checkpoint as ckpt_lib
 from ..data import augment, datasets
 from ..models.registry import make_point_model
+from ..train import health
 from ..train.eval_metrics import InstanceClassMeter
 from ..train.loop import create_train_state, make_scanned_eval, make_scanned_train_steps
 from . import _common as C
@@ -92,6 +93,7 @@ def main(argv=None):
         idx = rules.put_scan_idx(train_ds.epoch_indices(batch, host_rng))
         timer = C.EpochTimer()
         state, metrics = train_run(state, idx, sched(epoch), key)
+        health.check_finite({"loss": metrics["loss"]}, epoch)
         train_acc = float(jnp.mean(metrics["accuracy"]))
         rate = timer.lap(idx.shape[0] * idx.shape[1])
         print(f"Epoch {epoch + 1}: Train Instance Accuracy: {train_acc:f} ({rate})")

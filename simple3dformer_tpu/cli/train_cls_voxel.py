@@ -37,6 +37,7 @@ from ..models.voxel_vit import VoxelViT, frozen_mask
 from ..nn.vit import EMBED_DIM
 from ..nn.voxel_embed import make_embed_layer
 from ..parallel.mesh import ShardingRules, make_mesh, multihost_init
+from ..train import health
 from ..train.eval_metrics import ClassificationMeter
 from ..train.loop import (
     create_train_state,
@@ -225,6 +226,7 @@ def main(argv=None):
         idx = rules.put_scan_idx(train_ds.epoch_indices(args.batchSize, host_rng))
         t0 = time.time()
         state, metrics = train_run(state, idx, lr, key)
+        health.check_finite({"loss": metrics["loss"]}, epoch)
         loss = float(jnp.mean(metrics["loss"]))
         dt = time.time() - t0
         sps = idx.shape[0] * idx.shape[1] / dt

@@ -405,14 +405,74 @@ class S3DISWholeScene:
         return data_room, label_room, weight_room, index_room
 
 
-def load_scanobjectnn_h5(path: str):
-    """Load a ScanObjectNN h5 split: (data [B,N,3], label [B])."""
+def load_h5(path: str, keys: tuple = ("data", "label")):
+    """Generic h5 loader (utils/provider.py:237-248 getDataFiles/load_h5)."""
     import h5py
 
     with h5py.File(path, "r") as f:
-        data = f["data"][:].astype(np.float32)
-        label = f["label"][:].astype(np.int32)
-    return data, label
+        return tuple(f[k][:] for k in keys)
+
+
+def load_scanobjectnn_h5(path: str):
+    """Load a ScanObjectNN h5 split: (data [B,N,3], label [B])."""
+    data, label = load_h5(path)
+    return data.astype(np.float32), label.astype(np.int32)
+
+
+class BatchPointCloudLoader:
+    """Epoch/batch-oriented point-cloud loader with built-in augmentation.
+
+    Reference: /root/reference/data/modelnet_pointcloud.py (ModelNetDataset's
+    next_batch/_augment_batch_data surface, used by older training drivers).
+    Wraps any (points [N,P,C], labels [N]) arrays; `next_batch(augment=True)`
+    applies the rotate/scale/shift/jitter/dropout pipeline from data.augment.
+    """
+
+    def __init__(self, points: np.ndarray, labels: np.ndarray,
+                 batch_size: int = 32, shuffle: bool = True,
+                 normal_channel: bool = False,
+                 rng: np.random.RandomState | None = None):
+        self.points = points
+        self.labels = labels
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.normal_channel = normal_channel
+        self.rng = rng if rng is not None else np.random.RandomState()
+        self.reset()
+
+    def reset(self):
+        self.idx = 0
+        self.order = (self.rng.permutation(len(self.points)) if self.shuffle
+                      else np.arange(len(self.points)))
+
+    def has_next_batch(self) -> bool:
+        return self.idx < len(self.points)
+
+    def num_batches(self) -> int:
+        return int(np.ceil(len(self.points) / self.batch_size))
+
+    def _augment_batch_data(self, batch: np.ndarray) -> np.ndarray:
+        from . import augment
+
+        if self.normal_channel:
+            rotated = augment.rotate_point_cloud_with_normal(batch, rng=self.rng)
+        else:
+            rotated = augment.rotate_point_cloud(batch[:, :, :3], rng=self.rng)
+            rotated = np.concatenate([rotated, batch[:, :, 3:]], axis=-1)
+        xyz = rotated[:, :, :3]
+        xyz = augment.random_scale_point_cloud(xyz, rng=self.rng)
+        xyz = augment.shift_point_cloud(xyz, rng=self.rng)
+        xyz = augment.jitter_point_cloud(xyz, rng=self.rng)
+        rotated[:, :, :3] = xyz
+        return augment.random_point_dropout(rotated, rng=self.rng)
+
+    def next_batch(self, augment: bool = False):
+        sel = self.order[self.idx : self.idx + self.batch_size]
+        self.idx += self.batch_size
+        batch = self.points[sel].copy()
+        if augment:
+            batch = self._augment_batch_data(batch)
+        return batch, self.labels[sel]
 
 
 # --------------------------------------------------------------------------

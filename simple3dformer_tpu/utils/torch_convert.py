@@ -42,6 +42,35 @@ def load_torch_state_dict(path: str) -> dict:
             for k, v in obj.items()}
 
 
+def fit_21k_state_dict(sd: dict) -> dict:
+    """Normalize ViT-21k checkpoints to the timm layout.
+
+    Mirrors the reference's fit_dict (vit_3d_2d_pretrain.py:16-36): strip the
+    'transformer.' prefix, rename 'pwff' -> 'mlp', and concatenate separate
+    proj_q/proj_k/proj_v weights into the packed qkv.
+    """
+    out = {}
+    for k, v in sd.items():
+        if "pwff" in k:
+            k = k.replace("pwff", "mlp")
+        if k.startswith("transformer."):
+            k = k[len("transformer."):]
+        out[k] = v
+
+    qkv_blocks = sorted({
+        int(re.match(r"blocks\.(\d+)\.attn\.proj_q\.weight", k).group(1))
+        for k in out if re.match(r"blocks\.(\d+)\.attn\.proj_q\.weight", k)
+    })
+    for i in qkv_blocks:
+        for suffix in ("weight", "bias"):
+            parts = [
+                out.pop(f"blocks.{i}.attn.proj_{w}.{suffix}")
+                for w in ("q", "k", "v")
+            ]
+            out[f"blocks.{i}.attn.qkv.{suffix}"] = np.concatenate(parts, axis=0)
+    return out
+
+
 def torch_to_jax_tree(sd: dict, scan_blocks: bool = False) -> dict:
     """Convert a timm-VisionTransformer state dict to our nested param dict.
 
@@ -166,7 +195,10 @@ def maybe_load_deit(params: dict, backbone: str):
         )
         return params
     scan_blocks = "scan" in params.get("core", {})  # auto-detect core layout
-    loaded = torch_to_jax_tree(load_torch_state_dict(path), scan_blocks=scan_blocks)
+    sd = load_torch_state_dict(path)
+    if any("proj_q" in k or k.startswith("transformer.") for k in sd):
+        sd = fit_21k_state_dict(sd)  # ViT-21k layout (fit_dict parity)
+    loaded = torch_to_jax_tree(sd, scan_blocks=scan_blocks)
     merged, applied = merge_into(dict(params), loaded)
     print(f"loaded {len(applied)} tensors from {path}")
     return merged

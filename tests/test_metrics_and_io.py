@@ -95,3 +95,20 @@ def test_schedules():
     assert untuned_linear_warmup_factor(0) == 1 / 1999
     assert untuned_linear_warmup_factor(3000) == 1.0
     assert epoch_lr(1.0, 20, warmup=True) == 0.5 * (21 / 1999)
+
+
+def test_health_check_finite():
+    import pytest
+
+    from simple3dformer_tpu.train import health
+
+    health.check_finite({"loss": np.array([1.0, 2.0])})  # fine
+    with pytest.raises(health.TrainingDiverged, match="step 1"):
+        health.check_finite({"loss": np.array([1.0, np.nan])}, epoch=3)
+
+    guard = health.DivergenceGuard(max_rollbacks=1)
+    good, bad = "good_state", "bad_state"
+    out = guard.check(bad, {"loss": np.array([np.inf])}, 0, good_state=good)
+    assert out == good
+    with pytest.raises(health.TrainingDiverged):
+        guard.check(bad, {"loss": np.array([np.inf])}, 1, good_state=good)
