@@ -59,3 +59,45 @@ def test_dp8_matches_single_device(rng):
         )
 
     jax.tree_util.tree_map_with_path(check, p1, p8)
+
+
+def test_tp_sharded_step_matches_replicated(rng):
+    """Tensor-parallel param shardings must not change the math: one SGD step
+    on a (data=2, model=4) mesh equals the single-device step."""
+    from simple3dformer_tpu.parallel.tp import device_put_tp, vit_tp_shardings
+
+    x = (rng.rand(16, 8, 8, 8) > 0.7).astype(np.uint8)
+    y = rng.randint(0, 4, size=(16,)).astype(np.int32)
+    emb = VoxelEmbed(voxel_size=8, cell_size=4, patch_size=2, embed_dim=192)
+    model = VoxelViT(voxel_embed=emb, n_classes=4,
+                     transformer_backbone="deit_tiny_patch16_224")
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, 8, 8, 8)))
+    idx = rng.randint(0, 16, size=(2, 8)).astype(np.int32)
+
+    p_ref, l_ref = _run(1, variables, x, y, idx)
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    rules = ShardingRules(mesh)
+    ds = DeviceResidentDataset({"x": x, "y": y}, mesh=mesh)
+    tx = make_optimizer("SGD")
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    state = device_put_tp(create_train_state(params, tx), "params", mesh)
+    # sanity: qkv kernels actually sharded over the model axis
+    shardings = vit_tp_shardings(params, mesh)
+    qkv = shardings["core"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert "model" in str(qkv.spec)
+    run = make_scanned_train_steps(model, tx, ds, rules=None)
+    state, metrics = run(state, rules.put_scan_idx(idx), 1e-2, jax.random.key(7))
+
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(metrics["loss"])), l_ref, rtol=1e-4, atol=1e-5
+    )
+    p_tp = jax.device_get(state.params)
+
+    def check(path, a, b):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+    jax.tree_util.tree_map_with_path(check, p_ref, p_tp)
