@@ -35,6 +35,11 @@ def capture_attention(model, variables, x, method=None):
     walk(inter["intermediates"])
     if len(maps) == 1 and maps[0].ndim == 5:
         return out, maps[0]  # scanned core: already stacked [L, B, H, N, N]
+    shapes = {m.shape for m in maps}
+    if len(shapes) > 1:
+        # multi-pass routes (group_embed runs the core twice on different
+        # sequence lengths): return the per-pass maps unstacked
+        return out, maps
     return out, jnp.stack(maps)
 
 
