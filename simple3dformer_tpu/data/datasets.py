@@ -297,7 +297,11 @@ class S3DISDataset:
         room = self.room_idxs[idx]
         pts, lbl = self.room_points[room], self.room_labels[room]
         N = pts.shape[0]
-        while True:
+        # The reference retries unboundedly until a block holds >1024 points
+        # (s3dis.py:54-60) — an infinite loop on sparse rooms. Bound it and
+        # fall back to the densest block found.
+        best_sel, best_center = None, None
+        for _ in range(64):
             center = pts[self.rng.choice(N)][:3]
             lo = center - [self.block_size / 2, self.block_size / 2, 0]
             hi = center + [self.block_size / 2, self.block_size / 2, 0]
@@ -305,8 +309,13 @@ class S3DISDataset:
                 (pts[:, 0] >= lo[0]) & (pts[:, 0] <= hi[0])
                 & (pts[:, 1] >= lo[1]) & (pts[:, 1] <= hi[1])
             )[0]
+            if best_sel is None or sel.size > best_sel.size:
+                best_sel, best_center = sel, center
             if sel.size > 1024:
                 break
+        sel, center = best_sel, best_center
+        if sel.size == 0:
+            raise ValueError(f"room {room} yielded an empty block")
         chosen = self.rng.choice(sel, self.num_point, replace=sel.size < self.num_point)
         p = pts[chosen].copy()
         out = np.zeros((self.num_point, 9), dtype=np.float32)

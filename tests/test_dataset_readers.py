@@ -1,0 +1,159 @@
+"""Dataset readers against real on-disk fixtures (generated tiny trees)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from simple3dformer_tpu.data import binvox, datasets
+from simple3dformer_tpu.data.classmaps import CLASSES_ModelNet10
+
+
+def _write_binvox(path, grid):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    v = binvox.Voxels(grid, list(grid.shape), [0.0, 0.0, 0.0], 1.0, "xyz")
+    with open(path, "wb") as f:
+        binvox.write(v, f)
+
+
+def test_modelnet_voxel_dataset(tmp_path, rng):
+    for cls_name, n in [("bathtub", 3), ("chair", 2)]:
+        for i in range(n):
+            grid = rng.rand(16, 16, 16) > 0.8
+            _write_binvox(
+                str(tmp_path / cls_name / "train" / f"{cls_name}_{i:04d}.binvox"),
+                grid,
+            )
+    # a non-matching filename must be ignored (reference regex filter)
+    _write_binvox(str(tmp_path / "chair" / "train" / "weird-name.binvox"),
+                  rng.rand(16, 16, 16) > 0.8)
+
+    ds = datasets.ModelNetVoxelDataset(str(tmp_path), CLASSES_ModelNet10, "train")
+    assert len(ds) == 5
+    s = ds[0]
+    assert s["voxel"].shape == (16, 16, 16)
+    assert s["voxel"].dtype == np.int32
+    assert s["cls_idx"] in (0, 1)  # bathtub=0, chair=1
+
+    w = ds.class_weight()
+    assert w.shape == (10,)
+    assert w[0] < w[1]  # more bathtub samples -> lower weight
+
+    contrastive = datasets.ModelNetVoxelContrastive(
+        str(tmp_path), CLASSES_ModelNet10, "train",
+        rng=np.random.RandomState(0),
+    )
+    s2 = contrastive[0]
+    assert s2["contrastive"].shape == (16, 16, 16)
+
+
+def test_shapenet_v2_dataset(tmp_path, rng):
+    for synset, models in [("02691156", ["m1", "m2"]), ("02747177", ["m3"])]:
+        for m in models:
+            _write_binvox(
+                str(tmp_path / synset / m / "models" / "model_normalized.solid.binvox"),
+                rng.rand(8, 8, 8) > 0.5,
+            )
+    from simple3dformer_tpu.data.classmaps import CLASSES_SHAPENET
+
+    ds = datasets.ShapeNetV2VoxelDataset(str(tmp_path), CLASSES_SHAPENET)
+    assert len(ds) == 3
+    s = ds[0]
+    assert s["voxel"].shape == (8, 8, 8)
+    assert s["model_id"] in ("m1", "m2", "m3")
+    tr, te = ds.split_train_test(0.8, seed=9)
+    assert len(tr) + len(te) == 3
+
+    w = ds.class_weight()
+    assert w.shape == (55,)
+
+
+def test_modelnet_point_cloud_reader(tmp_path, rng):
+    names = ["airplane", "bed"]
+    (tmp_path / "modelnet40_shape_names.txt").write_text("\n".join(names) + "\n")
+    ids = []
+    for name in names:
+        (tmp_path / name).mkdir()
+        for i in range(2):
+            sid = f"{name}_{i:04d}"
+            ids.append(sid)
+            pts = rng.randn(32, 6).astype(np.float32)
+            np.savetxt(tmp_path / name / f"{sid}.txt", pts, delimiter=",",
+                       fmt="%.6f")
+    (tmp_path / "modelnet40_train.txt").write_text("\n".join(ids) + "\n")
+    (tmp_path / "modelnet40_test.txt").write_text("\n".join(ids[:1]) + "\n")
+
+    ds = datasets.ModelNetPointCloud(str(tmp_path), npoint=16, split="train",
+                                     normal_channel=True)
+    assert len(ds) == 4
+    pts, cls = ds[0]
+    assert pts.shape == (16, 6)
+    # normalized xyz: centered + unit sphere
+    assert abs(np.linalg.norm(pts[:, :3], axis=1).max() - 1.0) < 1e-4
+    assert cls[0] in (0, 1)
+    # cache hit returns identical data
+    pts2, _ = ds[0]
+    np.testing.assert_array_equal(pts, pts2)
+
+    ds3 = datasets.ModelNetPointCloud(str(tmp_path), npoint=16, split="test",
+                                      normal_channel=False)
+    assert ds3[0][0].shape == (16, 3)
+
+
+def test_part_normal_dataset_reader(tmp_path, rng):
+    synset = "02691156"
+    (tmp_path / "synsetoffset2category.txt").write_text(f"Airplane\t{synset}\n")
+    d = tmp_path / synset
+    d.mkdir()
+    files = []
+    for i in range(3):
+        fid = f"model_{i}"
+        files.append(fid)
+        pts = np.hstack([
+            rng.randn(40, 6).astype(np.float32),
+            rng.randint(0, 4, size=(40, 1)),
+        ])
+        np.savetxt(d / f"{fid}.txt", pts)
+    split_dir = tmp_path / "train_test_split"
+    split_dir.mkdir()
+    for split, members in [("train", files[:2]), ("val", []), ("test", files[2:])]:
+        (split_dir / f"shuffled_{split}_file_list.json").write_text(
+            json.dumps([f"shape_data/{synset}/{m}" for m in members])
+        )
+
+    ds = datasets.PartNormalDataset(str(tmp_path), npoints=16, split="trainval",
+                                    normal_channel=True,
+                                    rng=np.random.RandomState(0))
+    assert len(ds) == 2
+    pts, cls, seg = ds[0]
+    assert pts.shape == (16, 6)
+    assert seg.shape == (16,)
+    assert cls[0] == 0
+
+    ds_test = datasets.PartNormalDataset(str(tmp_path), npoints=16, split="test",
+                                         rng=np.random.RandomState(0))
+    assert len(ds_test) == 1
+    assert ds_test[0][0].shape == (16, 3)  # normal_channel=False default
+
+
+def test_s3dis_dataset_reader(tmp_path, rng):
+    # dense enough that a 1m block always holds > 1024 points (the sampler
+    # retries forever otherwise — reference behavior, s3dis.py:54-60)
+    for name in ["Area_1_office_1.npy", "Area_5_office_2.npy"]:
+        n = 12000
+        pts = np.zeros((n, 7))
+        pts[:, 0:3] = rng.rand(n, 3) * np.array([2.0, 2.0, 3.0])
+        pts[:, 3:6] = rng.randint(0, 255, (n, 3))
+        pts[:, 6] = rng.randint(0, 13, n)
+        np.save(tmp_path / name, pts)
+
+    ds = datasets.S3DISDataset(str(tmp_path), split="train", num_point=512,
+                               test_area=5, rng=np.random.RandomState(0))
+    assert len(ds) > 0
+    x, y = ds[0]
+    assert x.shape == (512, 9)
+    assert y.shape == (512,)
+    assert x[:, 3:6].max() <= 1.0  # rgb scaled
+    assert 0 <= x[:, 6:9].min() and x[:, 6:9].max() <= 1.0  # normalized coords
+    assert ds.labelweights.shape == (13,)
