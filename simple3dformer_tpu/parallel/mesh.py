@@ -98,6 +98,8 @@ class ShardingRules:
         """Place a [steps, batch] index matrix: batch-sharded over the data
         axis when divisible, replicated otherwise (tiny-batch fallback —
         correct everywhere, parallel when it can be)."""
+        import warnings
+
         import jax
         import jax.numpy as jnp
 
@@ -105,4 +107,9 @@ class ShardingRules:
         n = self.mesh.shape[DATA_AXIS]
         if idx.shape[1] % n == 0:
             return jax.device_put(idx, self.scan_batch)
+        warnings.warn(
+            f"batch {idx.shape[1]} not divisible by data-axis size {n}: "
+            "running replicated (correct but not data-parallel). Use a batch "
+            "that is a multiple of the device count for full throughput."
+        )
         return jax.device_put(idx, replicated(self.mesh))
