@@ -7,8 +7,10 @@ straight onto the MXU with the [B*S*K, C] activation layout.
 
 BatchNorm notes: torch BatchNorm momentum 0.1 == flax momentum 0.9; stats are
 per-replica by default, mirroring the reference DDP's broadcast_buffers=False
-(/root/reference/train_cls_voxel.py:158). Pass ``bn_cross_replica=True`` to
-psum-sync batch stats over the data axis instead (better, non-faithful).
+(/root/reference/train_cls_voxel.py:158). The ``axis_name`` field plumbs
+cross-replica stat syncing for shard_map/pmap execution contexts (under plain
+jit+NamedSharding the compiler computes global batch stats already, since the
+batch axis is a sharded dimension of one logical array).
 """
 
 from __future__ import annotations

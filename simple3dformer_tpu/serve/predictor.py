@@ -90,6 +90,26 @@ class Predictor:
         result = np.concatenate(outs)[:n]
         return self.postprocess(result) if self.postprocess else result
 
+    def export(self, path: str) -> str:
+        """Serialize the compiled forward (weights embedded + StableHLO).
+
+        The artifact is loadable WITHOUT the model's Python code (see
+        load_exported) — the deployment story for serving hosts."""
+        from jax import export as jax_export
+
+        variables = self.variables
+
+        def fwd_embedded(x):
+            return self._fwd(variables, x)
+
+        x_spec = jax.ShapeDtypeStruct(
+            (self.batch_size, *self.input_shape), jnp.float32
+        )
+        exported = jax_export.export(jax.jit(fwd_embedded))(x_spec)
+        with open(path, "wb") as f:
+            f.write(exported.serialize())
+        return path
+
     @property
     def stats(self) -> dict:
         lat = np.asarray(self._latencies)
@@ -100,6 +120,17 @@ class Predictor:
             "mean_latency_ms": float(lat.mean() * 1e3),
             "p95_latency_ms": float(np.percentile(lat, 95) * 1e3),
         }
+
+
+def load_exported(path: str) -> Callable:
+    """Load a Predictor.export artifact: a callable(x [B, ...]) -> logits.
+
+    Requires no model code — just jax on the target host."""
+    from jax import export as jax_export
+
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(bytearray(f.read()))
+    return exported.call
 
 
 def topk_labels(logits: np.ndarray, k: int = 5,

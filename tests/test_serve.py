@@ -71,3 +71,13 @@ def test_http_server_roundtrip(predictor, rng):
         assert "error" in json.loads(r.read())
     finally:
         server.shutdown()
+
+
+def test_export_and_load(predictor, rng, tmp_path):
+    from simple3dformer_tpu.serve.predictor import load_exported
+
+    path = predictor.export(str(tmp_path / "model.jaxexport"))
+    fn = load_exported(path)
+    x = (rng.rand(4, V, V, V) > 0.8).astype(np.float32)
+    out = np.asarray(fn(jnp.asarray(x)))
+    np.testing.assert_allclose(out, predictor(x), rtol=1e-5, atol=1e-6)
