@@ -53,7 +53,7 @@ def make_scanned_lwf_train_steps(
 ):
     """Jitted (state, task_idx [S,B], img_idx [S,M], lr, rng) -> (state, metrics)."""
 
-    def one_step(state: TrainState, task_arrays, img_arrays, task_idx, img_idx, lr, rng):
+    def one_step(state: TrainState, t_params, task_arrays, img_arrays, task_idx, img_idx, lr, rng):
         batch = task_ds.gather_from(task_arrays, task_idx)
         if prepare_fn is not None:
             x, y = prepare_fn(batch)
@@ -70,7 +70,7 @@ def make_scanned_lwf_train_steps(
             x = augment_fn(kaug, x)
 
         # teacher labels (frozen, no grad)
-        t_logits = teacher.apply({"params": teacher_params}, images)
+        t_logits = teacher.apply({"params": t_params}, images)
         t_labels = jax.lax.stop_gradient(jnp.argmax(t_logits, axis=-1))
 
         def compute_loss(params):
@@ -114,28 +114,31 @@ def make_scanned_lwf_train_steps(
             {"loss": loss, "task_loss": task_loss, "lwf_loss": lwf_loss},
         )
 
-    def run(state, task_arrays, img_arrays, task_idx_matrix, img_idx_matrix,
-            lr, rng):
+    def run(state, t_params, task_arrays, img_arrays, task_idx_matrix,
+            img_idx_matrix, lr, rng):
         def body(carry, idxs):
             t_idx, i_idx = idxs
-            return one_step(carry, task_arrays, img_arrays, t_idx, i_idx, lr, rng)
+            return one_step(carry, t_params, task_arrays, img_arrays,
+                            t_idx, i_idx, lr, rng)
 
         return jax.lax.scan(body, state, (task_idx_matrix, img_idx_matrix))
 
-    # corpora as jit arguments (see train/loop.py note on captured constants)
+    # teacher params + corpora as jit ARGUMENTS: closure-captured arrays are
+    # baked into the HLO as constants (a deit_base teacher alone is 344 MB,
+    # overflowing compile payload limits; see train/loop.py note)
     if rules is None:
         jitted = jax.jit(run, donate_argnums=(0,))
     else:
         jitted = jax.jit(
             run,
             in_shardings=(rules.params, rules.params, rules.params,
-                          None, None, None, None),
+                          rules.params, None, None, None, None),
             out_shardings=(rules.params, rules.params),
             donate_argnums=(0,),
         )
 
     def call(state, task_idx_matrix, img_idx_matrix, lr, rng):
-        return jitted(state, task_ds.arrays, image_ds.arrays,
+        return jitted(state, teacher_params, task_ds.arrays, image_ds.arrays,
                       task_idx_matrix, img_idx_matrix, lr, rng)
 
     return call
