@@ -81,6 +81,7 @@ def main(argv=None):
         idx = rules.put_scan_idx(train_ds.epoch_indices(batch, host_rng))
         timer = C.EpochTimer()
         state, metrics = train_run(state, idx, sched(epoch), key)
+        float(jnp.mean(metrics["loss"]))  # sync BEFORE timing the lap
         rate = timer.lap(idx.shape[0] * idx.shape[1])
         logits = C.to_host(eval_run(state, eval_idx)).reshape(-1, NUM_CLASS)
         meter = InstanceClassMeter(NUM_CLASS)

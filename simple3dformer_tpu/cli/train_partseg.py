@@ -150,9 +150,9 @@ def main(argv=None):
         idx = rules.put_scan_idx(train_ds.epoch_indices(batch, host_rng))
         timer = C.EpochTimer()
         state, metrics = train_run(state, idx, lr, key)
+        loss = float(jnp.mean(metrics["loss"]))  # sync BEFORE timing the lap
         rate = timer.lap(idx.shape[0] * idx.shape[1])
-        print(f"Epoch {epoch + 1} lr {lr:f} train loss "
-              f"{float(jnp.mean(metrics['loss'])):.4f} ({rate})")
+        print(f"Epoch {epoch + 1} lr {lr:f} train loss {loss:.4f} ({rate})")
 
         logits = C.to_host(eval_run(state, eval_idx))
         logits = logits.reshape(-1, int(cfg.num_point), NUM_PART)[: len(te_s)]
