@@ -38,6 +38,40 @@ TEACHER_BACKBONES = {
     "deit_base_patch16_224": dict(patch_size=16, embed_dim=768, depth=12, num_heads=12, mlp_ratio=4.0, qkv_bias=True),
 }
 
+# The reference's complete 2D factory surface (/root/reference/models/DeIT.py:67-186):
+# 8 functions = {tiny, small, base} x {plain, distilled} at 224 px, plus
+# base {plain, distilled} at 384 px. True head counts (these are the real 2D
+# models, not the quirky 3D config dicts above).
+DEIT_FACTORY = {
+    "deit_tiny_patch16_224": dict(embed_dim=192, num_heads=3, img_size=224, distilled=False),
+    "deit_small_patch16_224": dict(embed_dim=384, num_heads=6, img_size=224, distilled=False),
+    "deit_base_patch16_224": dict(embed_dim=768, num_heads=12, img_size=224, distilled=False),
+    "deit_tiny_distilled_patch16_224": dict(embed_dim=192, num_heads=3, img_size=224, distilled=True),
+    "deit_small_distilled_patch16_224": dict(embed_dim=384, num_heads=6, img_size=224, distilled=True),
+    "deit_base_distilled_patch16_224": dict(embed_dim=768, num_heads=12, img_size=224, distilled=True),
+    "deit_base_patch16_384": dict(embed_dim=768, num_heads=12, img_size=384, distilled=False),
+    "deit_base_distilled_patch16_384": dict(embed_dim=768, num_heads=12, img_size=384, distilled=True),
+}
+
+
+def deit_factory(name: str, num_classes: int = 1000, dtype=None,
+                 scan_blocks: bool = False) -> "ViT2D":
+    """Build any of the reference's 8 DeiT models (models/DeIT.py:67-186)."""
+    cfg = DEIT_FACTORY[name]
+    return ViT2D(
+        embed_dim=cfg["embed_dim"],
+        depth=12,
+        num_heads=cfg["num_heads"],
+        mlp_ratio=4.0,
+        qkv_bias=True,
+        patch_size=16,
+        num_classes=num_classes,
+        img_size=cfg["img_size"],
+        distilled=cfg["distilled"],
+        scan_blocks=scan_blocks,
+        dtype=dtype,
+    )
+
 EMBED_DIM = {name: cfg["embed_dim"] for name, cfg in BACKBONES.items()}
 
 

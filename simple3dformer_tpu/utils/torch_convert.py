@@ -71,6 +71,40 @@ def fit_21k_state_dict(sd: dict) -> dict:
     return out
 
 
+def interpolate_pos_embed(pos: np.ndarray, n_extra_src: int,
+                          n_patches_tgt: int, n_extra_tgt: int) -> np.ndarray:
+    """Resize a [1, N, D] position embedding to a new patch-grid size.
+
+    The timm recipe (resize_pos_embed) used when loading a 224-px checkpoint
+    into a 384-px model (models/DeIT.py:157-186 load 384 checkpoints natively;
+    this enables cross-resolution loading): split off the cls/dist tokens,
+    bicubic-resize the square grid, re-concatenate. Done with torch's
+    F.interpolate (align_corners=False) — conversion already requires torch,
+    and this keeps bit-identical parity with timm's own resampling.
+    """
+    import torch
+    import torch.nn.functional as F
+
+    extra, grid = pos[:, :n_extra_src], pos[:, n_extra_src:]
+    gs_src = int(round(np.sqrt(grid.shape[1])))
+    gs_tgt = int(round(np.sqrt(n_patches_tgt)))
+    assert gs_src * gs_src == grid.shape[1], "non-square source patch grid"
+    assert gs_tgt * gs_tgt == n_patches_tgt, "non-square target patch grid"
+    if gs_src != gs_tgt:
+        g = torch.from_numpy(
+            grid.reshape(1, gs_src, gs_src, -1).transpose(0, 3, 1, 2)
+        )
+        g = F.interpolate(g, size=(gs_tgt, gs_tgt), mode="bicubic",
+                          align_corners=False)
+        grid = g.permute(0, 2, 3, 1).reshape(1, gs_tgt * gs_tgt, -1).numpy()
+    if n_extra_tgt <= n_extra_src:
+        extra = extra[:, :n_extra_tgt]
+    else:  # plain ckpt -> distilled model: seed dist slot from the cls slot
+        pad = np.repeat(extra[:, -1:], n_extra_tgt - n_extra_src, axis=1)
+        extra = np.concatenate([extra, pad], axis=1)
+    return np.concatenate([extra, grid], axis=1).astype(pos.dtype)
+
+
 def torch_to_jax_tree(sd: dict, scan_blocks: bool = False) -> dict:
     """Convert a timm-VisionTransformer state dict to our nested param dict.
 
@@ -199,6 +233,19 @@ def maybe_load_deit(params: dict, backbone: str):
     if any("proj_q" in k or k.startswith("transformer.") for k in sd):
         sd = fit_21k_state_dict(sd)  # ViT-21k layout (fit_dict parity)
     loaded = torch_to_jax_tree(sd, scan_blocks=scan_blocks)
+    # Cross-resolution load (e.g. 224-px ckpt into a 384-px ViT2D): resample
+    # the pos-embed grid so the leaf shape matches and merge applies it. The
+    # 3D models intentionally drop pos_embed (reference's "except pos_embed"
+    # filter) — their target shape never matches, so this never triggers there.
+    if "pos_embed" in loaded and "pos_embed" in params:
+        src, tgt = loaded["pos_embed"], params["pos_embed"]
+        if np.shape(src) != np.shape(tgt) and np.shape(src)[-1] == np.shape(tgt)[-1]:
+            n_extra_src = 2 if "dist_token" in loaded else 1
+            n_extra_tgt = 2 if "dist_token" in params else 1
+            n_patches_tgt = np.shape(tgt)[1] - n_extra_tgt
+            loaded["pos_embed"] = interpolate_pos_embed(
+                np.asarray(src), n_extra_src, n_patches_tgt, n_extra_tgt
+            )
     merged, applied = merge_into(dict(params), loaded)
     print(f"loaded {len(applied)} tensors from {path}")
     return merged
