@@ -61,13 +61,26 @@ def fps_pallas(xyz: jnp.ndarray, npoint: int, start: jnp.ndarray | None = None,
     B, N, C = xyz.shape
     if start is None:
         start = jnp.zeros((B,), dtype=jnp.int32)
-    start_b = jnp.broadcast_to(start.reshape(B, 1).astype(jnp.int32), (B, N))
+    # Mosaic cannot lower the rows-select sublane broadcast at B=1 (partseg's
+    # batch_size=1 recipe) — pad the batch to the 8-row sublane tile; the
+    # extra rows are discarded. FPS work is VPU-bound per row and tiny.
+    B_pad = max(B, 8)
+    if B_pad != B:
+        xyz = jnp.concatenate(
+            [xyz, jnp.broadcast_to(xyz[:1], (B_pad - B, N, C))], axis=0
+        )
+        start = jnp.concatenate(
+            [start, jnp.zeros((B_pad - B,), dtype=start.dtype)], axis=0
+        )
+    start_b = jnp.broadcast_to(start.reshape(B_pad, 1).astype(jnp.int32),
+                               (B_pad, N))
     xyz = xyz.astype(jnp.float32)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_fps_kernel, npoint=npoint, n=N),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, npoint), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B_pad, npoint), jnp.int32),
         interpret=interpret,
     )(xyz[..., 0], xyz[..., 1], xyz[..., 2], start_b)
+    return out[:B]

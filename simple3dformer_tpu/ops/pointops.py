@@ -35,6 +35,22 @@ def _env_switch(name: str) -> bool | None:
     return v not in ("0", "false", "False")
 
 
+def _use_pallas(env: str, override: bool | None, n: int) -> bool:
+    """Pallas auto-dispatch policy: ON for TPU backends at n >= 256.
+
+    Round-2 measurement (scripts/profile_s3dis.py, real chip, B=4 N=4096):
+    kNN 36.7 ms -> 3.5 ms, FPS 23.2 ms -> 3.7 ms; inside epoch-scanned
+    training programs the per-dispatch Mosaic overhead amortizes to nothing
+    even over this tunnel (S3DIS step 23.9 -> 39.5 samples/sec). Force off
+    with S3F_PALLAS=0 for eager per-call use on tunneled backends, where each
+    un-scanned kernel dispatch still pays ~1 s.
+    """
+    use = override if override is not None else _env_switch(env)
+    if use is None:
+        use = True
+    return use and jax.default_backend() == "tpu" and n >= 256
+
+
 def square_distance(src: jnp.ndarray, dst: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
     """Pairwise squared euclidean distance. src [B,N,C], dst [B,M,C] -> [B,N,M]."""
     if exact:
@@ -56,10 +72,9 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(*idx.shape, C)
 
 
-# FPS backend switch. The batch-vectorized Pallas kernel (kernels/fps.py)
-# keeps xyz + the running distance VMEM-resident across all iterations
-# (~1.2x net win at B=32,N=1024, larger once the per-dispatch floor is
-# excluded); same tunnel caveat as USE_PALLAS_KNN — opt in with S3F_PALLAS=1.
+# FPS backend switch (None = auto, see _use_pallas). The batch-vectorized
+# Pallas kernel (kernels/fps.py) keeps xyz + the running distance
+# VMEM-resident across all iterations: 23.2 ms -> 3.7 ms at B=4, N=npoint=4096.
 USE_PALLAS_FPS: bool | None = None
 
 
@@ -77,11 +92,7 @@ def farthest_point_sample(
     else:
         start = jnp.zeros((B,), dtype=jnp.int32)
 
-    use = USE_PALLAS_FPS if USE_PALLAS_FPS is not None else _env_switch("S3F_PALLAS")
-    if use is None:
-        use = False  # see switch comment: tunnel per-call overhead
-    use = use and jax.default_backend() == "tpu" and N >= 256
-    if use:
+    if _use_pallas("S3F_PALLAS", USE_PALLAS_FPS, N):
         from ..kernels.fps import fps_pallas
 
         return fps_pallas(xyz, npoint, start=start)
@@ -99,12 +110,9 @@ def farthest_point_sample(
     return jnp.transpose(idx)  # [B, npoint]
 
 
-# kNN backend switch. The Pallas fused kernel (kernels/knn.py) removes the
-# [B,S,N] HBM distance tensor; measured ~17x compute win over the XLA
-# dist+top_k at B=8,N=4096 (69ms -> 4ms net of this environment's ~33ms
-# dispatch floor). BUT embedded in a jit program on this tunneled TPU, every
-# Mosaic custom call pays ~1s of per-invocation overhead, so auto-dispatch is
-# off by default. Opt in with S3F_PALLAS=1 on directly-attached TPUs.
+# kNN backend switch (None = auto, see _use_pallas). The Pallas fused kernel
+# (kernels/knn.py) removes the [B,S,N] HBM distance tensor: 36.7 ms -> 3.5 ms
+# at B=4, N=4096, k=16. Also serves three_nn_interpolate's 3-NN search.
 USE_PALLAS_KNN: bool | None = None
 
 
@@ -112,11 +120,7 @@ def knn_indices(query: jnp.ndarray, points: jnp.ndarray, k: int) -> jnp.ndarray:
     """Indices of the k nearest points for each query. [B,S,3],[B,N,3]->[B,S,k]."""
     # torch argsort()[..., :k] silently clamps when k > N; mirror that.
     k = min(k, points.shape[1])
-    use = USE_PALLAS_KNN if USE_PALLAS_KNN is not None else _env_switch("S3F_PALLAS")
-    if use is None:
-        use = False  # see switch comment: tunnel per-call overhead
-    use = use and jax.default_backend() == "tpu" and points.shape[1] >= 256
-    if use:
+    if _use_pallas("S3F_PALLAS", USE_PALLAS_KNN, points.shape[1]):
         from ..kernels.knn import knn_pallas
 
         idx, _ = knn_pallas(query, points, k)
@@ -156,9 +160,19 @@ def sample_and_group(
 
     Returns new_xyz [B,S,3] and grouped features [B,S,K,3+D] (centered xyz
     concatenated with gathered point features, reference ordering).
+
+    npoint == N shortcut: FPS over all N points is a permutation, and every
+    consumer of this function's outputs (per-row MLPs, kNN neighborhoods,
+    batch-norm statistics, 3-NN interpolation back onto unpermuted xyz) is
+    row-order invariant, so identity indices give mathematically identical
+    model outputs while skipping the N-iteration sequential FPS scan. The
+    3DViT level-0 TransitionDown (variant_spec tds[0] = (N, D/2)) hits this.
     """
     B, N, C = xyz.shape
-    fps_idx = farthest_point_sample(xyz, npoint, key=key)
+    if npoint == N:
+        fps_idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+    else:
+        fps_idx = farthest_point_sample(xyz, npoint, key=key)
     new_xyz = index_points(xyz, fps_idx)
     if knn:
         idx = knn_indices(new_xyz, xyz, nsample)
@@ -220,9 +234,14 @@ def three_nn_interpolate(
     S = xyz2.shape[1]
     if S == 1:
         return jnp.broadcast_to(points2, (B, N, points2.shape[-1]))
-    d = square_distance(xyz1, xyz2)
-    neg, idx = jax.lax.top_k(-d, 3)
-    dists = -neg
+    if _use_pallas("S3F_PALLAS", USE_PALLAS_KNN, S):
+        from ..kernels.knn import knn_pallas
+
+        idx, dists = knn_pallas(xyz1, xyz2, 3)
+    else:
+        d = square_distance(xyz1, xyz2)
+        neg, idx = jax.lax.top_k(-d, 3)
+        dists = -neg
     recip = 1.0 / (dists + 1e-8)
     weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
     gathered = index_points(points2, idx)  # [B,N,3,D]

@@ -41,6 +41,30 @@ def test_fps_pallas_matches_lax(rng):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_fps_pallas_batch_one(rng):
+    """batch_size=1 (the partseg recipe) pads to the 8-row sublane tile;
+    round-2 regression: Mosaic could not lower the rows-select at B=1."""
+    xyz = rng.randn(1, 128, 3).astype(np.float32)
+    ref = np.asarray(pointops.farthest_point_sample(jnp.asarray(xyz), 32))
+    out = np.asarray(fps_pallas(jnp.asarray(xyz), 32, interpret=True))
+    assert out.shape == (1, 32)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_sample_and_group_identity_when_npoint_equals_n(rng):
+    """npoint == N skips the FPS permutation (documented equivalence:
+    every consumer is row-order invariant); new_xyz must be xyz itself."""
+    xyz = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(2, 64, 5).astype(np.float32))
+    new_xyz, grouped = pointops.sample_and_group(
+        64, 0.0, 8, xyz, feats, knn=True
+    )
+    np.testing.assert_array_equal(np.asarray(new_xyz), np.asarray(xyz))
+    assert grouped.shape == (2, 64, 8, 8)
+    # each point's own neighborhood contains itself: centered xyz row 0 == 0
+    np.testing.assert_allclose(np.asarray(grouped)[:, :, 0, :3], 0.0, atol=1e-6)
+
+
 def test_fps_pallas_custom_start(rng):
     xyz = rng.randn(2, 64, 3).astype(np.float32)
     start = jnp.asarray([5, 17], dtype=jnp.int32)
