@@ -230,6 +230,10 @@ def make_scanned_train_steps(
     def call(state, idx_matrix, lr, rng):
         return jitted(state, dataset.arrays, idx_matrix, lr, rng)
 
+    # expose AOT lowering (bench.py uses compiled cost_analysis for MFU)
+    call.lower = lambda state, idx_matrix, lr, rng: jitted.lower(
+        state, dataset.arrays, idx_matrix, lr, rng
+    )
     return call
 
 
