@@ -122,7 +122,12 @@ def main(argv=None):
         out_dir = os.path.join(args.outf, f"sample_{i}_cls{int(tr_y[i])}")
         save_plots(voxel, mask, joint, grid, out_dir)
         results.append((out_dir, mask))
-        print(f"sample {i}: pred {int(np.argmax(logits))} label {int(tr_y[i])} "
+        from ..serve.server import default_class_names
+
+        names = default_class_names(np.asarray(logits).shape[-1]) or {}
+        pred = int(np.argmax(logits))
+        pred_name = names.get(pred, pred)
+        print(f"sample {i}: pred {pred} ({pred_name}) label {int(tr_y[i])} "
               f"-> {out_dir}")
     return results
 

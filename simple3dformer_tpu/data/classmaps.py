@@ -56,6 +56,19 @@ def name2idx(names: list[str]) -> dict[str, int]:
     return {n: i for i, n in enumerate(names)}
 
 
+def imagenet_class_names() -> dict[int, str]:
+    """ImageNet-1k index -> human-readable name (reference:
+    /root/reference/data/class_names_imagenet.py lab_dict). The table is
+    factual WordNet-lemma data, shipped as a JSON resource next to this
+    module; used by serving and the LwF/attention-map 2D pathway output."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "imagenet_classes.json")
+    with open(path) as f:
+        return {int(k): v for k, v in json.load(f).items()}
+
+
 CLASSES_ModelNet10 = idx2name(MODELNET10_NAMES)
 CLASSES_ModelNet40 = idx2name(MODELNET40_NAMES)
 CLASSES_SHAPENET = idx2name(SHAPENET_V2_SYNSETS)

@@ -428,6 +428,95 @@ def load_scanobjectnn_h5(path: str):
     return data.astype(np.float32), label.astype(np.int32)
 
 
+# --- ScanObjectNN h5 variants (reference data/__init__.py:185-275) ---------
+# Epoch-wise samplers: one shared point-subset permutation for the whole
+# split, then a cloud-order shuffle. Randomness is injectable (rng=None uses
+# the global numpy state, matching the reference).
+
+
+def _np_rng(rng):
+    return np.random if rng is None else rng
+
+
+def load_withmask_h5(path: str):
+    """(data, label, mask) from an h5 with part masks (:252-259)."""
+    return load_h5(path, keys=("data", "label", "mask"))
+
+
+def load_parts_h5(path: str):
+    """(data, label, parts) (:268-275)."""
+    return load_h5(path, keys=("data", "label", "parts"))
+
+
+def load_discriminator_h5(path: str):
+    """(data, label, model_type) (:261-266)."""
+    return load_h5(path, keys=("data", "label", "type"))
+
+
+def get_current_data_h5(pcs, labels, num_points: int, rng=None):
+    """Sample num_points per cloud (one shared permutation) + shuffle clouds
+    (:169-184)."""
+    r = _np_rng(rng)
+    idx_pts = np.arange(pcs.shape[1])
+    r.shuffle(idx_pts)
+    sampled = pcs[:, idx_pts[:num_points], :]
+    idx = np.arange(len(labels))
+    r.shuffle(idx)
+    return sampled[idx], labels[idx]
+
+
+def get_current_data_withmask_h5(pcs, labels, masks, num_points: int,
+                                 shuffle: bool = True, rng=None):
+    """Like get_current_data_h5 but carries per-point masks; shuffle=False
+    gives the deterministic eval order (:186-209)."""
+    r = _np_rng(rng)
+    idx_pts = np.arange(pcs.shape[1])
+    if shuffle:
+        r.shuffle(idx_pts)
+    sampled = pcs[:, idx_pts[:num_points], :]
+    sampled_mask = masks[:, idx_pts[:num_points]]
+    idx = np.arange(len(labels))
+    if shuffle:
+        r.shuffle(idx)
+    return sampled[idx], labels[idx], sampled_mask[idx]
+
+
+def get_current_data_parts_h5(pcs, labels, parts, num_points: int, rng=None):
+    """Carries per-point part ids (:211-228)."""
+    r = _np_rng(rng)
+    idx_pts = np.arange(pcs.shape[1])
+    r.shuffle(idx_pts)
+    sampled = pcs[:, idx_pts[:num_points], :]
+    sampled_parts = parts[:, idx_pts[:num_points]]
+    idx = np.arange(len(labels))
+    r.shuffle(idx)
+    return sampled[idx], labels[idx], sampled_parts[idx]
+
+
+def get_current_data_discriminator_h5(pcs, labels, types, num_points: int,
+                                      rng=None):
+    """Carries per-cloud real/synthetic type tags. NOTE the reference indexes
+    `types[idx]` with the cloud shuffle but does NOT point-subsample it
+    (types are per-cloud, :230-246) — same here."""
+    r = _np_rng(rng)
+    idx_pts = np.arange(pcs.shape[1])
+    r.shuffle(idx_pts)
+    sampled = pcs[:, idx_pts[:num_points], :]
+    idx = np.arange(len(labels))
+    r.shuffle(idx)
+    return sampled[idx], labels[idx], types[idx]
+
+
+def convert_to_binary_mask(masks):
+    """Background (-1) -> 0, everything else -> 1 (:278-288)."""
+    return (np.asarray(masks) != -1).astype(np.float64)
+
+
+def flip_types(types):
+    """Invert the real/synthetic tag (:290-292)."""
+    return np.asarray(types) == 0
+
+
 class BatchPointCloudLoader:
     """Epoch/batch-oriented point-cloud loader with built-in augmentation.
 

@@ -20,7 +20,23 @@ import numpy as np
 from .predictor import Predictor, topk_labels
 
 
-def make_handler(predictor: Predictor, class_names: dict | None = None):
+def default_class_names(n_classes: int) -> dict | None:
+    """Built-in label maps by head width: ModelNet10/40, S3DIS, ScanObjectNN,
+    ImageNet-1k (data/classmaps.py; reference class_names_imagenet.py)."""
+    from ..data import classmaps
+
+    table = {
+        10: classmaps.CLASSES_ModelNet10,
+        13: classmaps.idx2name(classmaps.S3DIS_NAMES),
+        15: classmaps.idx2name(classmaps.SCANOBJECTNN_NAMES),
+        40: classmaps.CLASSES_ModelNet40,
+    }
+    if n_classes == 1000:
+        return classmaps.imagenet_class_names()
+    return table.get(n_classes)
+
+
+def make_handler(predictor: Predictor, class_names: dict | str | None = None):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
@@ -45,10 +61,13 @@ def make_handler(predictor: Predictor, class_names: dict | None = None):
                 payload = json.loads(self.rfile.read(length))
                 x = np.asarray(payload["inputs"], dtype=np.float32)
                 logits = predictor(x)
+                names = class_names
+                if names == "auto":
+                    names = default_class_names(logits.shape[-1])
                 self._send(200, {
                     "logits": logits.tolist(),
                     "topk": topk_labels(logits, k=min(5, logits.shape[-1]),
-                                        names=class_names),
+                                        names=names),
                 })
             except Exception as e:  # noqa: BLE001 — report, don't crash serve
                 self._send(400, {"error": str(e)})
@@ -61,7 +80,7 @@ def make_handler(predictor: Predictor, class_names: dict | None = None):
 
 class ModelServer:
     def __init__(self, predictor: Predictor, host: str = "127.0.0.1",
-                 port: int = 0, class_names: dict | None = None):
+                 port: int = 0, class_names: dict | str | None = None):
         self.httpd = ThreadingHTTPServer(
             (host, port), make_handler(predictor, class_names)
         )
