@@ -192,9 +192,12 @@ def main(argv=None):
         t_vars = jax.jit(teacher.init)(jax.random.key(0),
                                        jnp.zeros((1, 224, 224, 3)))
         t_params = maybe_load_deit(t_vars["params"], "deit_base_patch16_224")
+        from ..data.image_augment import device_random_resized_crop_flip
+
         lwf_run = make_scanned_lwf_train_steps(
             model, teacher, t_params, tx, train_ds, image_ds, rules,
             lambda_weight=0.1,
+            image_augment_fn=device_random_resized_crop_flip,
         )
 
         def train_run(state, idx, lr, key, _rng=np.random.RandomState(args.seed)):

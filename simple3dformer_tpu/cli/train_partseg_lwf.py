@@ -35,15 +35,21 @@ from .train_partseg import load_arrays, make_prepare_fn, NUM_PART
 from . import _common as C
 
 
+IMAGE_CANVAS = 256  # staged source resolution for the on-device crops
+
+
 def load_images(cfg):
-    """ImageNet val as uint8 [N,224,224,3]; synthetic fallback."""
+    """ImageNet val as a uint8 [N,canvas,canvas,3] HBM canvas; synthetic
+    fallback. RandomResizedCrop(224)+flip run ON DEVICE inside the scanned
+    step (data.image_augment.device_random_resized_crop_flip), fresh per
+    step — the reference re-crops per epoch via torchvision
+    (train_partseg_lwf.py:125-129); cropping from a 256-canvas instead of
+    original resolution is the documented tunnel-bandwidth deviation."""
+    canvas = int(cfg.get("image_canvas", IMAGE_CANVAS))
     if cfg.synthetic:
         rng = np.random.RandomState(int(cfg.seed) + 7)
         n = max(int(cfg.synthetic), 256)
-        return (rng.rand(n, 224, 224, 3) * 255).astype(np.uint8)
-    # host pipeline: torchvision-equivalent RandomResizedCrop happens at
-    # staging; stored once, reused across epochs (the reference re-crops per
-    # epoch; per-epoch random *selection* is preserved below)
+        return (rng.rand(n, canvas, canvas, 3) * 255).astype(np.uint8)
     from PIL import Image
 
     valdir = os.path.join(cfg.imagenet_data_path, "val")
@@ -55,7 +61,7 @@ def load_images(cfg):
     rng.shuffle(paths)
     out = []
     for p in paths[:20000]:
-        img = Image.open(p).convert("RGB").resize((224, 224))
+        img = Image.open(p).convert("RGB").resize((canvas, canvas))
         out.append(np.asarray(img, dtype=np.uint8))
     return np.stack(out)
 
@@ -112,12 +118,14 @@ def main(argv=None):
     def task_loss(out, y):
         return seg_cross_entropy(out, y)
 
+    from ..data.image_augment import device_random_resized_crop_flip
     from .train_partseg import seg_augment
 
     train_run = make_scanned_lwf_train_steps(
         model, teacher, t_params, tx, train_ds, image_ds, rules,
         task_loss_fn=task_loss, lambda_weight=float(cfg.get("lambda_weight", 0.1)),
         has_batch_stats=has_bn, prepare_fn=prepare, augment_fn=seg_augment,
+        image_augment_fn=device_random_resized_crop_flip,
     )
     eval_run = make_scanned_eval(model, test_ds, rules, has_batch_stats=has_bn,
                                  prepare_fn=prepare)

@@ -46,12 +46,19 @@ def make_scanned_lwf_train_steps(
     lambda_weight: float = 0.1,
     has_batch_stats: bool = False,
     augment_fn: Optional[Callable] = None,
+    image_augment_fn: Optional[Callable] = None,
     prepare_fn: Optional[Callable] = None,
     x_dtype=jnp.float32,
     x_key: str = "x",
     y_key: str = "y",
 ):
-    """Jitted (state, task_idx [S,B], img_idx [S,M], lr, rng) -> (state, metrics)."""
+    """Jitted (state, task_idx [S,B], img_idx [S,M], lr, rng) -> (state, metrics).
+
+    ``image_augment_fn(key, u8_images) -> images`` runs inside the step on
+    the raw gathered canvas (fresh RandomResizedCrop+flip per STEP — the
+    reference re-transforms per epoch, train_partseg_lwf.py:125-129); its
+    output is then ImageNet-normalized.
+    """
 
     def one_step(state: TrainState, t_params, task_arrays, img_arrays, task_idx, img_idx, lr, rng):
         batch = task_ds.gather_from(task_arrays, task_idx)
@@ -61,10 +68,12 @@ def make_scanned_lwf_train_steps(
         else:
             x = batch[x_key].astype(x_dtype)
             y = batch[y_key]
-        images = normalize_images(
-            image_ds.gather_from(img_arrays, img_idx)["images"]
-        )
+        raw_images = image_ds.gather_from(img_arrays, img_idx)["images"]
         key = jax.random.fold_in(rng, state.step)
+        if image_augment_fn is not None:
+            kimg, key = jax.random.split(key)
+            raw_images = image_augment_fn(kimg, raw_images)
+        images = normalize_images(raw_images)
         if augment_fn is not None:
             kaug, key = jax.random.split(key)
             x = augment_fn(kaug, x)
