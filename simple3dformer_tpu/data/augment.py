@@ -49,8 +49,11 @@ def _roty(angle: float) -> np.ndarray:
 
 
 def _rotz(angle: float) -> np.ndarray:
+    # reference layout (provider.py:79-81): [[c, s, 0], [-s, c, 0], [0, 0, 1]]
+    # — applied as points @ R, this rotates by -angle; distributionally
+    # identical for angle ~ U[0, 2pi) but kept exact for parity.
     c, s = np.cos(angle), np.sin(angle)
-    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    return np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]])
 
 
 def rotate_point_cloud(batch: np.ndarray, rng=np.random) -> np.ndarray:
@@ -104,7 +107,8 @@ def rotate_perturbation_point_cloud(
         Rz = np.array([[np.cos(a[2]), -np.sin(a[2]), 0],
                        [np.sin(a[2]), np.cos(a[2]), 0],
                        [0, 0, 1]])
-        out[b] = batch[b].reshape(-1, 3) @ (Rz @ Ry @ Rx).T
+        # reference applies pc @ (Rz Ry Rx) with NO transpose (provider.py:195-197)
+        out[b] = batch[b].reshape(-1, 3) @ (Rz @ Ry @ Rx)
     return out
 
 

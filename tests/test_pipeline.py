@@ -128,6 +128,40 @@ def test_np_augment_shapes(rng):
         assert np.all(dropped[b][mask[b]] == batch[b, 0])
 
 
+def test_rotation_matrices_reference_exact(rng):
+    """Exact provider.py parity: same seeded draws -> bitwise-equal outputs
+    for the z-rotation (provider.py:66-84) and the xyz perturbation
+    (provider.py:176-198). Round-2 fix: both matrices were transposed."""
+    batch = rng.randn(3, 16, 3).astype(np.float32)
+
+    r1, r2 = np.random.RandomState(5), np.random.RandomState(5)
+    got = augment.rotate_point_cloud_z(batch, rng=r1)
+    want = np.zeros_like(batch)
+    for k in range(3):
+        ang = r2.uniform() * 2 * np.pi
+        c, s = np.cos(ang), np.sin(ang)
+        R = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]])
+        want[k] = batch[k].reshape(-1, 3) @ R
+    np.testing.assert_array_equal(got, want)
+
+    r1, r2 = np.random.RandomState(6), np.random.RandomState(6)
+    got = augment.rotate_perturbation_point_cloud(batch, rng=r1)
+    want = np.zeros_like(batch)
+    for k in range(3):
+        a = np.clip(0.06 * r2.randn(3), -0.18, 0.18)
+        Rx = np.array([[1, 0, 0],
+                       [0, np.cos(a[0]), -np.sin(a[0])],
+                       [0, np.sin(a[0]), np.cos(a[0])]])
+        Ry = np.array([[np.cos(a[1]), 0, np.sin(a[1])],
+                       [0, 1, 0],
+                       [-np.sin(a[1]), 0, np.cos(a[1])]])
+        Rz = np.array([[np.cos(a[2]), -np.sin(a[2]), 0],
+                       [np.sin(a[2]), np.cos(a[2]), 0],
+                       [0, 0, 1]])
+        want[k] = batch[k].reshape(-1, 3) @ (Rz @ (Ry @ Rx))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_device_augment_matches_host_semantics(rng):
     key = jax.random.key(3)
     pts = jnp.asarray(rng.randn(4, 32, 6).astype(np.float32))
