@@ -22,24 +22,37 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+DCN_AXIS = "dcn"
 
 
 def make_mesh(
     n_data: int | None = None,
     n_model: int = 1,
     devices: list | None = None,
+    n_dcn: int = 1,
 ) -> Mesh:
-    """Build a (data, model) mesh over the available devices.
+    """Build a (data, model) — or (dcn, data, model) — mesh.
 
-    ``n_data=None`` uses all devices (divided by ``n_model``). Works the same
-    on 1 real TPU chip, a v5e-8 slice, or 8 virtual CPU devices under
-    ``--xla_force_host_platform_device_count``.
+    ``n_data=None`` uses all devices (divided by ``n_model`` and ``n_dcn``).
+    Works the same on 1 real TPU chip, a v5e-8 slice, or 8 virtual CPU
+    devices under ``--xla_force_host_platform_device_count``.
+
+    ``n_dcn > 1`` adds a leading data-center-network axis for multi-slice
+    pods: the outermost (slowest-varying) mesh dim maps across slices, so
+    only the gradient psum over ``dcn`` rides DCN while everything else
+    stays on ICI. Shard batch over ("dcn", "data") jointly for pure DP
+    across slices (ShardingRules handles 2- and 3-axis meshes uniformly via
+    axis names). The reference has no multi-node story beyond NCCL DDP
+    (SURVEY §2.6); this is the TPU-native extension.
     """
     devices = devices if devices is not None else jax.devices()
     if n_data is None:
-        n_data = len(devices) // n_model
-    use = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
-    return Mesh(use, (DATA_AXIS, MODEL_AXIS))
+        n_data = len(devices) // (n_model * n_dcn)
+    use = np.asarray(devices[: n_dcn * n_data * n_model])
+    if n_dcn > 1:
+        return Mesh(use.reshape(n_dcn, n_data, n_model),
+                    (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
+    return Mesh(use.reshape(n_data, n_model), (DATA_AXIS, MODEL_AXIS))
 
 
 def multihost_init() -> None:
@@ -58,9 +71,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _batch_axes(mesh: Mesh):
+    """The axes the batch dim shards over: ("dcn", "data") on multi-slice
+    meshes, plain "data" otherwise."""
+    if DCN_AXIS in mesh.axis_names:
+        return (DCN_AXIS, DATA_AXIS)
+    return DATA_AXIS
+
+
 def batch_sharded(mesh: Mesh, ndim: int = 1) -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis, replicate the rest."""
-    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+    """Shard the leading (batch) dim over the data (and dcn) axes."""
+    return NamedSharding(mesh, P(_batch_axes(mesh), *([None] * (ndim - 1))))
 
 
 def shard_batch_tree(mesh: Mesh, tree):
@@ -84,7 +105,7 @@ class ShardingRules:
 
     @property
     def batch(self) -> NamedSharding:
-        return NamedSharding(self.mesh, P(DATA_AXIS))
+        return NamedSharding(self.mesh, P(_batch_axes(self.mesh)))
 
     def batch_spec(self, ndim: int) -> NamedSharding:
         return batch_sharded(self.mesh, ndim)
@@ -92,7 +113,7 @@ class ShardingRules:
     @property
     def scan_batch(self) -> NamedSharding:
         """[steps, batch] index matrices: shard the batch dim, not steps."""
-        return NamedSharding(self.mesh, P(None, DATA_AXIS))
+        return NamedSharding(self.mesh, P(None, _batch_axes(self.mesh)))
 
     def put_scan_idx(self, idx):
         """Place a [steps, batch] index matrix: batch-sharded over the data
@@ -105,6 +126,8 @@ class ShardingRules:
 
         idx = jnp.asarray(idx)
         n = self.mesh.shape[DATA_AXIS]
+        if DCN_AXIS in self.mesh.axis_names:
+            n *= self.mesh.shape[DCN_AXIS]
         if idx.shape[1] % n == 0:
             return jax.device_put(idx, self.scan_batch)
         warnings.warn(
