@@ -6,10 +6,28 @@ attention softmax(fc_gamma(q - k + pos_enc)) over the K neighbors, channelwise
 (vector) weights, aggregation of (v + pos_enc).
 
 TPU notes: the [B, N, K, D] neighborhood tensors are the hot intermediates —
-K=16, D=512 for the reference config. All gathers are take_along_axis; the
-MLPs run as batched matmuls over the folded [B*N*K, D] layout. The softmax
-scale mirrors the reference exactly: 1/sqrt(d_model) applied to the attention
-*logits* over the neighbor axis (transformer.py:40).
+K=16, D=512 for the reference config. Two execution paths:
+
+* XLA (default off-TPU / small N): gathers via take_along_axis, MLPs as
+  batched matmuls over the folded [B*N*K, D] layout. XLA cannot fuse
+  matmul->matmul chains, so ~6 [B,N,K,D] intermediates round-trip HBM per
+  forward and most persist as backward residuals (at B=64,N=1024 each is
+  2.1 GB f32 — the measured source of f32 remat/spill collapse, see
+  scripts/profile_vector_attention.py).
+* Fused Pallas (auto on TPU for N >= 256, same S3F_PALLAS switch as
+  ops/pointops): kernels/vector_attention.py runs the whole
+  pos-MLP -> gamma-MLP -> softmax -> aggregation chain per VMEM tile with a
+  recompute backward — zero [B,N,K,D] residuals, measured 2.2x f32 / 1.9x
+  bf16 over the XLA chain at the transformer1 shape
+  (scripts/bench_vecattn_kernel.py). The kNN gathers stay in XLA so their
+  scatter-add VJP is JAX's. The fused path returns attn=None (every model
+  call site discards it); set FORCE_FUSED=False to recover the attention
+  maps. Precision deviation: the kernel adds biases and takes ReLU/softmax
+  in f32 even when compute dtype is bf16 (flax Dense stays in bf16
+  throughout) — strictly tighter numerics.
+
+The softmax scale mirrors the reference exactly: 1/sqrt(d_model) applied to
+the attention *logits* over the neighbor axis (transformer.py:40).
 """
 
 from __future__ import annotations
@@ -20,8 +38,15 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..kernels.vector_attention import fused_vector_attention
 from ..ops import pointops
 from .layers import dense
+
+# Fused-kernel switch: None = auto (pointops._use_pallas policy: TPU backend,
+# N >= 256, S3F_PALLAS env override). True/False force it for tests.
+FORCE_FUSED: bool | None = None
+# Run the Pallas kernel in interpreter mode (CPU parity tests only).
+INTERPRET: bool = False
 
 
 class MLP2(nn.Module):
@@ -38,6 +63,13 @@ class MLP2(nn.Module):
         return dense(self.out, dtype=self.dtype, name="fc2")(x)
 
 
+def _mlp2_weights(tree, prefix):
+    return {
+        prefix + "1": tree["fc1"]["kernel"], "b" + prefix[1] + "1": tree["fc1"]["bias"],
+        prefix + "2": tree["fc2"]["kernel"], "b" + prefix[1] + "2": tree["fc2"]["bias"],
+    }
+
+
 class VectorAttentionBlock(nn.Module):
     """TransformerBlock(d_points, d_model, k) of the reference."""
 
@@ -47,7 +79,10 @@ class VectorAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, features):
-        """xyz [B,N,3], features [B,N,Dp] -> (out [B,N,Dp], attn [B,N,K,Dm])."""
+        """xyz [B,N,3], features [B,N,Dp] -> (out [B,N,Dp], attn [B,N,K,Dm]).
+
+        attn is None on the fused-kernel path (see module docstring).
+        """
         knn_idx = pointops.knn_indices(xyz, xyz, self.k)  # includes self
         knn_xyz = pointops.index_points(xyz, knn_idx)
 
@@ -59,15 +94,39 @@ class VectorAttentionBlock(nn.Module):
         k = pointops.index_points(k_all, knn_idx)  # [B,N,K,Dm]
         v = pointops.index_points(v_all, knn_idx)
 
-        pos_enc = MLP2(self.d_model, self.d_model, dtype=self.dtype, name="fc_delta")(
-            xyz[:, :, None, :] - knn_xyz
-        )
-        attn = MLP2(self.d_model, self.d_model, dtype=self.dtype, name="fc_gamma")(
-            q[:, :, None, :] - k + pos_enc
-        )
-        attn = jax.nn.softmax(
-            attn / jnp.sqrt(jnp.asarray(self.d_model, attn.dtype)), axis=-2
-        )
-        res = jnp.sum(attn * (v + pos_enc), axis=2)  # [B,N,Dm]
+        fc_delta = MLP2(self.d_model, self.d_model, dtype=self.dtype,
+                        name="fc_delta")
+        fc_gamma = MLP2(self.d_model, self.d_model, dtype=self.dtype,
+                        name="fc_gamma")
+        rel = xyz[:, :, None, :] - knn_xyz
+
+        fused = FORCE_FUSED
+        if fused is None:
+            fused = (pointops._use_pallas("S3F_PALLAS", None, xyz.shape[1])
+                     and self.d_model % 128 == 0)
+        if fused:
+            # Materialize the MLP params without running the big tensors
+            # through flax (zero-row calls create/verify them), then hand the
+            # raw kernels to the fused Pallas op. Gradients flow through
+            # get_variable's traced leaves.
+            cd = q.dtype
+            fc_delta(jnp.zeros((0, 3), cd))
+            fc_gamma(jnp.zeros((0, self.d_model), cd))
+            weights = {}
+            weights.update(_mlp2_weights(
+                self.get_variable("params", "fc_delta"), "wd"))
+            weights.update(_mlp2_weights(
+                self.get_variable("params", "fc_gamma"), "wg"))
+            res = fused_vector_attention(
+                q, k, v, rel.astype(cd), weights, 32, INTERPRET)
+            attn = None
+        else:
+            pos_enc = fc_delta(rel)
+            attn = fc_gamma(q[:, :, None, :] - k + pos_enc)
+            attn = jax.nn.softmax(
+                attn / jnp.sqrt(jnp.asarray(self.d_model, attn.dtype)), axis=-2
+            )
+            res = jnp.sum(attn * (v + pos_enc), axis=2)  # [B,N,Dm]
+
         res = dense(pre.shape[-1], dtype=self.dtype, name="fc2")(res) + pre
         return res, attn

@@ -1,0 +1,111 @@
+"""Fused Pallas vector-attention kernel vs the XLA/flax path.
+
+Covers the kernel op directly (fwd + full VJP against the plain-jnp oracle)
+and the VectorAttentionBlock module wiring (FORCE_FUSED + interpret mode so
+the CPU suite exercises the exact production code path). Reference math:
+/root/reference/models/Hengshuang/transformer.py:29-42.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from simple3dformer_tpu.kernels.vector_attention import (
+    fused_vector_attention, vector_attention_reference)
+from simple3dformer_tpu.nn import vector_attention as va
+
+
+def _rand_inputs(rng, b=2, n=64, k=8, d=128):
+    q = jnp.asarray(rng.randn(b, n, d).astype(np.float32) * 0.3)
+    kk = jnp.asarray(rng.randn(b, n, k, d).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(b, n, k, d).astype(np.float32) * 0.3)
+    rel = jnp.asarray(rng.randn(b, n, k, 3).astype(np.float32))
+    w = {name: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.05)
+         for name, s in [("wd1", (3, d)), ("bd1", (d,)), ("wd2", (d, d)),
+                         ("bd2", (d,)), ("wg1", (d, d)), ("bg1", (d,)),
+                         ("wg2", (d, d)), ("bg2", (d,))]}
+    return q, kk, v, rel, w
+
+
+def test_fused_op_forward_matches_oracle(rng):
+    q, k, v, rel, w = _rand_inputs(rng)
+    out_f = fused_vector_attention(q, k, v, rel, w, 32, True)
+    out_r = vector_attention_reference(q, k, v, rel, w)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_op_vjp_matches_oracle(rng):
+    q, k, v, rel, w = _rand_inputs(rng)
+    ct = jnp.asarray(rng.randn(*q.shape).astype(np.float32))
+
+    def loss(fn):
+        def f(q, k, v, rel, w):
+            return jnp.sum(fn(q, k, v, rel, w) * ct)
+        return f
+
+    gf = jax.grad(loss(lambda *a: fused_vector_attention(*a, 32, True)),
+                  argnums=(0, 1, 2, 3, 4))(q, k, v, rel, w)
+    gr = jax.grad(loss(vector_attention_reference),
+                  argnums=(0, 1, 2, 3, 4))(q, k, v, rel, w)
+    for a, b in zip(gf[:4], gr[:4]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    for name in gr[4]:
+        scale = max(float(jnp.max(jnp.abs(gr[4][name]))), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(gf[4][name]) / scale, np.asarray(gr[4][name]) / scale,
+            rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_fused_op_row_padding(rng):
+    # B*N = 96, not a multiple of tile=32 per batch fold -> exercises padding.
+    q, k, v, rel, w = _rand_inputs(rng, b=3, n=27, k=5, d=128)
+    out_f = fused_vector_attention(q, k, v, rel, w, 32, True)
+    out_r = vector_attention_reference(q, k, v, rel, w)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_module_fused_path_matches_xla_path(rng, monkeypatch):
+    """VectorAttentionBlock with the fused kernel == flax path (fwd + grads)."""
+    xyz = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(2, 64, 32).astype(np.float32) * 0.3)
+    blk = va.VectorAttentionBlock(d_model=128, k=8)
+
+    monkeypatch.setattr(va, "FORCE_FUSED", False)
+    params = blk.init(jax.random.key(0), xyz, feats)["params"]
+    out_x, attn_x = blk.apply({"params": params}, xyz, feats)
+    assert attn_x is not None
+
+    def loss(p, fused):
+        monkeypatch.setattr(va, "FORCE_FUSED", fused)
+        out, _ = blk.apply({"params": p}, xyz, feats)
+        return jnp.sum(out ** 2)
+
+    g_x = jax.grad(loss)(params, False)
+
+    monkeypatch.setattr(va, "INTERPRET", True)
+    monkeypatch.setattr(va, "FORCE_FUSED", True)
+    # init under the fused path produces the identical tree
+    params_f = blk.init(jax.random.key(0), xyz, feats)["params"]
+    assert jax.tree_util.tree_structure(params_f) == \
+        jax.tree_util.tree_structure(params)
+    for a, b in zip(jax.tree_util.tree_leaves(params_f),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    out_f, attn_f = blk.apply({"params": params}, xyz, feats)
+    assert attn_f is None
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-5)
+
+    g_f = jax.grad(loss)(params, True)
+    flat_x = jax.tree_util.tree_leaves_with_path(g_x)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(g_f))
+    for path, gx in flat_x:
+        gf = flat_f[path]
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(path))
