@@ -177,7 +177,7 @@ def _cli_rate(main_fn, argv) -> float | None:
 
 def secondary_metrics() -> list:
     """Point-workload throughput via the real CLIs (BASELINE.md round-2)."""
-    from simple3dformer_tpu.cli import train_partseg, train_s3dis_semseg
+    from simple3dformer_tpu.cli import train_cls, train_partseg, train_s3dis_semseg
 
     out = []
     r = _cli_rate(train_s3dis_semseg.main,
@@ -190,6 +190,12 @@ def secondary_metrics() -> list:
                    "out_dir=/tmp/bench_partseg"])
     if r is not None:
         out.append({"metric": "partseg_samples_per_sec_per_chip",
+                    "value": r, "unit": "samples/sec/chip"})
+    r = _cli_rate(train_cls.main,
+                  ["model=Hengshuang", "synthetic=256", "epoch=2",
+                   "dtype=bf16", "out_dir=/tmp/bench_hengshuang"])
+    if r is not None:
+        out.append({"metric": "hengshuang_cls_bf16_samples_per_sec_per_chip",
                     "value": r, "unit": "samples/sec/chip"})
     return out
 

@@ -2,9 +2,11 @@
 
 Isolates the candidates for the ~90 ms/step (batch 4, N=4096): FPS scan,
 kNN, the two TransitionDowns, the 1025-token deit_base ViT core, and the
-TransitionUps. Each timing jits a lax.scan of REPS calls so per-dispatch
-tunnel overhead (~0.5-1 s) amortizes, and synchronizes by fetching a scalar
-(block_until_ready returns early on this backend — CLAUDE.md).
+TransitionUps. Each timing jits a lax.scan of REPS carry-dependent calls
+(see scripts/_timing.py: loop-invariant bodies get hoisted by XLA LICM, so
+the old fixed-input protocol under-reported; per-dispatch tunnel overhead
+still amortizes) and synchronizes by fetching a scalar (block_until_ready
+returns early on this backend — CLAUDE.md).
 """
 
 import sys
@@ -21,24 +23,18 @@ REPS = 20
 B, N, K = 4, 4096, 16
 
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _timing import timeit as _honest_timeit  # noqa: E402
+
+
 def timeit(name, fn, *args):
-    """fn must return an array; scan it REPS times inside one jit."""
-
-    def scanned(*a):
-        def body(c, _):
-            r = fn(*a)
-            return c + r.reshape(-1)[0].astype(jnp.float32), None
-
-        out, _ = jax.lax.scan(body, jnp.float32(0), None, length=REPS)
-        return out
-
-    f = jax.jit(scanned)
-    float(f(*args))  # compile + warmup
-    t0 = time.time()
-    v = float(f(*args))
-    dt = (time.time() - t0) / REPS * 1000
-    print(f"{name:45s} {dt:8.2f} ms")
-    return dt
+    """Honest scan timing (see scripts/_timing.py — the earlier inline
+    protocol here was invalidated by XLA while-loop LICM hoisting the
+    loop-invariant body; absolute ms it reported were unreliable)."""
+    return _honest_timeit(name, fn, *args, reps=REPS)
 
 
 def main():

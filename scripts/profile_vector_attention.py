@@ -25,22 +25,18 @@ REPS = 10
 B, N, K, DM, DP = 64, 1024, 16, 512, 32
 
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _timing import timeit as _honest_timeit  # noqa: E402
+
+
 def timeit(name, fn, *args):
-    def scanned(*a):
-        def body(c, _):
-            r = fn(*a)
-            return c + r.reshape(-1)[0].astype(jnp.float32), None
-
-        out, _ = jax.lax.scan(body, jnp.float32(0), None, length=REPS)
-        return out
-
-    f = jax.jit(scanned)
-    float(f(*args))  # compile + warmup
-    t0 = time.time()
-    float(f(*args))
-    dt = (time.time() - t0) / REPS * 1000
-    print(f"{name:58s} {dt:8.2f} ms")
-    return dt
+    """Honest scan timing (see scripts/_timing.py — the earlier inline
+    protocol here was invalidated by XLA while-loop LICM hoisting the
+    loop-invariant body; absolute ms it reported were unreliable)."""
+    return _honest_timeit(name, fn, *args, reps=REPS)
 
 
 def main():

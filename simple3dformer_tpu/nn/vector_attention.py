@@ -17,10 +17,11 @@ K=16, D=512 for the reference config. Two execution paths:
 * Fused Pallas (auto on TPU for N >= 256, same S3F_PALLAS switch as
   ops/pointops): kernels/vector_attention.py runs the whole
   pos-MLP -> gamma-MLP -> softmax -> aggregation chain per VMEM tile with a
-  recompute backward — zero [B,N,K,D] residuals, measured 2.2x f32 / 1.9x
-  bf16 over the XLA chain at the transformer1 shape
-  (scripts/bench_vecattn_kernel.py). The kNN gathers stay in XLA so their
-  scatter-add VJP is JAX's. The fused path returns attn=None (every model
+  recompute backward — zero [B,N,K,D] residuals, and the k/v neighbor
+  gathers run inside the kernel as one-hot MXU matmuls (XLA's gather/
+  scatter on this pattern is ~10x off HBM speed-of-light; see
+  kernels/vector_attention.py and scripts/honest_profile.py for measured
+  numbers). The fused path returns attn=None (every model
   call site discards it); set FORCE_FUSED=False to recover the attention
   maps. Precision deviation: the kernel adds biases and takes ReLU/softmax
   in f32 even when compute dtype is bf16 (flax Dense stays in bf16
@@ -38,7 +39,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..kernels.vector_attention import fused_vector_attention
+from ..kernels.vector_attention import (
+    fused_vector_attention, fused_vector_attention_pregathered)
 from ..ops import pointops
 from .layers import dense
 
@@ -91,8 +93,6 @@ class VectorAttentionBlock(nn.Module):
         q = dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_qs")(x)
         k_all = dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_ks")(x)
         v_all = dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_vs")(x)
-        k = pointops.index_points(k_all, knn_idx)  # [B,N,K,Dm]
-        v = pointops.index_points(v_all, knn_idx)
 
         fc_delta = MLP2(self.d_model, self.d_model, dtype=self.dtype,
                         name="fc_delta")
@@ -108,7 +108,9 @@ class VectorAttentionBlock(nn.Module):
             # Materialize the MLP params without running the big tensors
             # through flax (zero-row calls create/verify them), then hand the
             # raw kernels to the fused Pallas op. Gradients flow through
-            # get_variable's traced leaves.
+            # get_variable's traced leaves. The k/v neighbor gathers happen
+            # INSIDE the kernel (one-hot MXU matmuls) — nothing [B,N,K,D]
+            # sized is ever materialized.
             cd = q.dtype
             fc_delta(jnp.zeros((0, 3), cd))
             fc_gamma(jnp.zeros((0, self.d_model), cd))
@@ -117,10 +119,22 @@ class VectorAttentionBlock(nn.Module):
                 self.get_variable("params", "fc_delta"), "wd"))
             weights.update(_mlp2_weights(
                 self.get_variable("params", "fc_gamma"), "wg"))
-            res = fused_vector_attention(
-                q, k, v, rel.astype(cd), weights, 32, INTERPRET)
+            if cd == jnp.float32:
+                # f32: exact in-kernel one-hot gathers need bf16x6 MXU
+                # passes — slower than XLA's gather/scatter here, so gather
+                # outside and fuse only the chain (kernels module docstring).
+                k = pointops.index_points(k_all, knn_idx)
+                v = pointops.index_points(v_all, knn_idx)
+                res = fused_vector_attention_pregathered(
+                    q, k, v, rel.astype(cd), weights, 32, INTERPRET)
+            else:
+                res = fused_vector_attention(
+                    q, k_all, v_all, knn_idx, rel.astype(cd), weights, 32,
+                    INTERPRET)
             attn = None
         else:
+            k = pointops.index_points(k_all, knn_idx)  # [B,N,K,Dm]
+            v = pointops.index_points(v_all, knn_idx)
             pos_enc = fc_delta(rel)
             attn = fc_gamma(q[:, :, None, :] - k + pos_enc)
             attn = jax.nn.softmax(
