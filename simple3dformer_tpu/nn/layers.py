@@ -51,6 +51,53 @@ class Mlp(nn.Module):
         return x
 
 
+# Flash-attention switch: OPT-IN via S3F_FLASH=1 (or USE_FLASH = True).
+# Measured on v5e at the S3DIS core shape (B=4, 1025 tokens, deit_base,
+# bf16, honest protocol): stock Pallas flash f/b 43.6 ms (block 384; 90.7 at
+# block 128) vs 30.5 ms for the einsum path — at seq ~1k with head_dim 64
+# and B*H=48-way parallelism the [B,H,N,N] materialization XLA emits is
+# cheaper than flash's blocked recomputation, so flash stays off by default
+# on this hardware. The path is kept (and still auto-guarded to seq >= 256)
+# for long-sequence work on bigger chips. Skipped regardless when attention
+# dropout is active or the caller asked for the attention matrix
+# (mutable=['intermediates'] rollout capture) — flash never materializes it.
+USE_FLASH: bool | None = None
+_FLASH_BLOCK = 384
+
+
+def _flash_attention(q, k, v, scale):
+    """Stock Pallas TPU flash attention on [B, N, H, D] tensors.
+
+    Pads N up to a multiple of 128 and masks the padding with segment ids
+    (pad tokens only attend each other; their rows are sliced off). 1025
+    tokens (the S3DIS/partseg ViT cores) pad to 1152 — 1.26x block FLOPs vs
+    the 2.25x a 512-multiple pad would cost.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+
+    B, N, H, D = q.shape
+    npad = ((N + _FLASH_BLOCK - 1) // _FLASH_BLOCK) * _FLASH_BLOCK
+
+    def prep(x):
+        x = jnp.pad(x, ((0, 0), (0, npad - N), (0, 0), (0, 0)))
+        return x.transpose(0, 2, 1, 3)  # [B, H, Npad, D]
+
+    ids = jnp.broadcast_to(
+        (jnp.arange(npad) < N).astype(jnp.int32), (B, npad))
+    blk = min(_FLASH_BLOCK, npad)
+    bs = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+        block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
+        block_q_dq=blk,
+    )
+    out = flash_attention(prep(q), prep(k), prep(v),
+                          segment_ids=SegmentIds(q=ids, kv=ids),
+                          sm_scale=scale, block_sizes=bs)
+    return out.transpose(0, 2, 1, 3)[:, :N]  # [B, N, H, D]
+
+
 class Attention(nn.Module):
     """Multi-head self-attention with a packed qkv projection.
 
@@ -59,6 +106,11 @@ class Attention(nn.Module):
     NOTE the reference runs deit_base with num_heads=3 (a quirk of its config
     dicts, /root/reference/models/vit_3d_2d_pretrain.py:302) — heads are a
     constructor arg here and parity configs mirror that.
+
+    On TPU at seq >= 256 the attention itself runs as the stock Pallas flash
+    kernel (no [B, H, N, N] materialization; ~f32 softmax accumulation —
+    strictly tighter numerics than the bf16 einsum path). Set USE_FLASH =
+    False to force the einsum path everywhere.
     """
 
     num_heads: int
@@ -69,6 +121,8 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
+        from ..ops import pointops
+
         B, N, C = x.shape
         H = self.num_heads
         head_dim = C // H
@@ -78,14 +132,26 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, N, 3, H, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)  # each [B, N, H, D]
 
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
-        attn = jax.nn.softmax(attn, axis=-1)
-        # exposed for attention-rollout visualization (the reference's forward
-        # hooks on blk.attn, visualize_attention_map_voxel.py:144); only
-        # materialized when apply() is called with mutable=['intermediates']
-        self.sow("intermediates", "attn", attn)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        use_flash = USE_FLASH
+        if use_flash is None:
+            use_flash = bool(pointops._env_switch("S3F_FLASH")) and \
+                pointops._use_pallas("S3F_PALLAS", None, N)
+        use_flash = (use_flash
+                     and not (self.attn_drop > 0 and not deterministic)
+                     and not self.is_mutable_collection("intermediates")
+                     and head_dim % 64 == 0)
+        if use_flash:
+            out = _flash_attention(q, k, v, scale).reshape(B, N, C)
+        else:
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+            attn = jax.nn.softmax(attn, axis=-1)
+            # exposed for attention-rollout visualization (the reference's
+            # forward hooks on blk.attn, visualize_attention_map_voxel.py:144);
+            # only materialized when apply() is called with
+            # mutable=['intermediates']
+            self.sow("intermediates", "attn", attn)
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
 
         out = dense(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
