@@ -63,11 +63,26 @@ def square_distance(src: jnp.ndarray, dst: jnp.ndarray, exact: bool = False) -> 
     return jnp.maximum(s2 + d2 - 2.0 * cross, 0.0)
 
 
+# Gather backend switch (None = auto, see _use_pallas). The one-hot MXU
+# gather kernel (kernels/gather.py) replaces XLA's slow TPU gather +
+# scatter-add VJP on the SA hot path; exact only for bf16 values, so the
+# auto policy is dtype-gated.
+USE_PALLAS_GATHER: bool | None = None
+
+
 def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Batched gather. points [B,N,C], idx [B, ...] int -> [B, ..., C]."""
     B = points.shape[0]
     C = points.shape[-1]
     flat = idx.reshape(B, -1)
+    if (points.ndim == 3 and points.dtype == jnp.bfloat16 and C >= 64
+            and flat.shape[1] >= 256
+            and _use_pallas("S3F_PALLAS", USE_PALLAS_GATHER,
+                            points.shape[1])):
+        from ..kernels.gather import gather_rows
+
+        out = gather_rows(points, flat.astype(jnp.int32))
+        return out.reshape(*idx.shape, C)
     out = jnp.take_along_axis(points, flat[..., None], axis=1)
     return out.reshape(*idx.shape, C)
 

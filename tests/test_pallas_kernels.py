@@ -70,3 +70,37 @@ def test_fps_pallas_custom_start(rng):
     start = jnp.asarray([5, 17], dtype=jnp.int32)
     out = np.asarray(fps_pallas(jnp.asarray(xyz), 8, start=start, interpret=True))
     assert out[0, 0] == 5 and out[1, 0] == 17
+
+
+def test_gather_rows_matches_take_along_axis(rng):
+    from simple3dformer_tpu.kernels.gather import gather_rows
+
+    B, N, C = 2, 300, 96
+    pts = jnp.asarray(rng.randn(B, N, C).astype(np.float32)).astype(jnp.bfloat16)
+    # R=1000 is not a multiple of the 256-row tile: exercises the pad path
+    idx = jnp.asarray(rng.randint(0, N, size=(B, 1000)).astype(np.int32))
+    out = gather_rows(pts, idx, interpret=True)
+    ref = jnp.take_along_axis(pts, idx[..., None], axis=1)
+    assert bool(jnp.all(out == ref))
+
+
+def test_gather_rows_grad_matches_scatter_add(rng):
+    from simple3dformer_tpu.kernels.gather import gather_rows
+
+    B, N, C = 2, 128, 64
+    pts = jnp.asarray(rng.randn(B, N, C).astype(np.float32)).astype(jnp.bfloat16)
+    idx = jnp.asarray(rng.randint(0, N, size=(B, 513)).astype(np.int32))
+    cot = jnp.asarray(rng.randn(B, 513, C).astype(np.float32)).astype(jnp.bfloat16)
+
+    def loss_k(p):
+        return jnp.sum(gather_rows(p, idx, 256, True).astype(jnp.float32) * cot)
+
+    def loss_x(p):
+        return jnp.sum(
+            jnp.take_along_axis(p, idx[..., None], 1).astype(jnp.float32) * cot)
+
+    gk = jax.grad(loss_k)(pts).astype(jnp.float32)
+    gx = jax.grad(loss_x)(pts).astype(jnp.float32)
+    # kernel accumulates collisions in f32 then casts once; XLA's scatter-add
+    # rounds per-collision — allow that rounding headroom
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gx), rtol=0.03, atol=0.05)
