@@ -1,19 +1,25 @@
 """Shared honest scan-timing helper.
 
-The naive protocol — jit a `lax.scan` of REPS identical calls and divide by
-REPS — is INVALID on this stack: XLA's while-loop invariant code motion can
-hoist the entire loop-invariant body, so the scan measures ONE execution
-divided by REPS. Verified on the real chip 2026-08-16: a full Hengshuang
-train step measured 22 ms under the naive protocol vs 193 ms with a
-carry-dependent input — and 193 ms matches the e2e CLI epoch rate.
-(Round-1/2 kernel microbenches in BASELINE.md used the naive protocol; their
-*ratios* remained meaningful — hoisting divides both sides equally when it
-fires — but absolute ms were unreliable. E2E CLI rates were never affected.)
+Two invalidating effects on this stack, both verified on the real chip
+(2026-08-16):
 
-`timeit` here threads the f32 scan carry into the first floating-point
-argument leaf (x + c * 1e-12) so every iteration depends on the previous
-one and the body must re-execute. Synchronization is by scalar fetch:
-jax.block_until_ready can return early on the tunneled axon backend.
+1. LICM hoisting. The naive protocol — jit a `lax.scan` of REPS identical
+   calls and divide by REPS — is INVALID: XLA's while-loop invariant code
+   motion can hoist the entire loop-invariant body, so the scan measures ONE
+   execution divided by REPS (a full Hengshuang train step measured 22 ms
+   naive vs 193 ms carry-dependent; 193 matches the e2e CLI epoch rate).
+   `timeit` threads the f32 scan carry into the first floating-point
+   argument leaf (x + c * 1e-12) so every iteration must re-execute.
+
+2. Dispatch floor. One synchronized call through the tunnel costs ~24-33 ms
+   regardless of body size, so ms/call = total/REPS carries a +floor/REPS
+   bias — at the old REPS=10 that was ~2.4-3 ms added to every number, which
+   swamps sub-5 ms kernels (a [4100,768]x[768,768] f/b reads as 2.7 ms when
+   it really runs ~0.3). `timeit` now measures the floor once per process
+   (trivial-body scan at the same rep count) and subtracts it.
+
+Synchronization is by scalar fetch: jax.block_until_ready can return early
+on the tunneled axon backend.
 """
 
 import time
@@ -21,7 +27,9 @@ import time
 import jax
 import jax.numpy as jnp
 
-REPS = 10
+REPS = 50
+
+_floor_ms = {}
 
 
 def _perturb_first_float_leaf(args, c):
@@ -41,9 +49,7 @@ def _perturb_first_float_leaf(args, c):
     return tuple(out)
 
 
-def timeit(name, fn, *args, reps=REPS):
-    """Honest scan timing: fn(*args) -> array; prints and returns ms/call."""
-
+def _run(fn, args, reps):
     def scanned(*a):
         def body(c, _):
             r = fn(*_perturb_first_float_leaf(a, c))
@@ -56,6 +62,20 @@ def timeit(name, fn, *args, reps=REPS):
     float(f(*args))  # compile + warmup
     t0 = time.time()
     float(f(*args))
-    dt = (time.time() - t0) / reps * 1000
+    return (time.time() - t0) / reps * 1000
+
+
+def dispatch_floor(reps=REPS):
+    """ms/rep cost of an empty synchronized scan (cached per rep count)."""
+    if reps not in _floor_ms:
+        x = jnp.ones((8, 128), jnp.float32)
+        _floor_ms[reps] = _run(lambda x: x * 1.000001, (x,), reps)
+    return _floor_ms[reps]
+
+
+def timeit(name, fn, *args, reps=REPS):
+    """Honest scan timing: fn(*args) -> array; prints and returns ms/call
+    net of the per-dispatch floor."""
+    dt = _run(fn, args, reps) - dispatch_floor(reps)
     print(f"{name:56s} {dt:8.2f} ms", flush=True)
     return dt

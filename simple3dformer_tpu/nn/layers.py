@@ -64,6 +64,15 @@ class Mlp(nn.Module):
 USE_FLASH: bool | None = None
 _FLASH_BLOCK = 384
 
+# VMEM-resident MHSA kernel switch (kernels/mhsa.py): OPT-IN via S3F_MHSA=1.
+# Measured on v5e at the S3DIS core shape (floor-corrected honest protocol):
+# standalone attention f/b 1.2 ms kernel vs 0.78 ms einsum, and the full
+# 12-block core is unchanged (30.5 ms both ways) — XLA's einsum path already
+# runs the narrow-head_dim attention at its ~50 TFLOP/s hardware ceiling and
+# the [B,H,N,N] HBM round-trips are NOT the bottleneck at N ~ 1k. Kept for
+# shapes where VMEM-resident rows might win (bigger N, tiny D budgets).
+USE_MHSA: bool | None = None
+
 
 def _flash_attention(q, k, v, scale):
     """Stock Pallas TPU flash attention on [B, N, H, D] tensors.
@@ -132,16 +141,25 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, N, 3, H, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)  # each [B, N, H, D]
 
+        plain_ok = (not (self.attn_drop > 0 and not deterministic)
+                    and not self.is_mutable_collection("intermediates")
+                    and head_dim % 64 == 0)
         use_flash = USE_FLASH
         if use_flash is None:
             use_flash = bool(pointops._env_switch("S3F_FLASH")) and \
                 pointops._use_pallas("S3F_PALLAS", None, N)
-        use_flash = (use_flash
-                     and not (self.attn_drop > 0 and not deterministic)
-                     and not self.is_mutable_collection("intermediates")
-                     and head_dim % 64 == 0)
+        use_flash = use_flash and plain_ok
+        use_mhsa = USE_MHSA
+        if use_mhsa is None:
+            use_mhsa = bool(pointops._env_switch("S3F_MHSA")) and \
+                pointops._use_pallas("S3F_PALLAS", None, N)
+        use_mhsa = use_mhsa and plain_ok and N <= 2048 and not use_flash
         if use_flash:
             out = _flash_attention(q, k, v, scale).reshape(B, N, C)
+        elif use_mhsa:
+            from ..kernels.mhsa import mhsa
+
+            out = mhsa(q, k, v, scale).reshape(B, N, C)
         else:
             attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
             attn = jax.nn.softmax(attn, axis=-1)

@@ -104,3 +104,29 @@ def test_gather_rows_grad_matches_scatter_add(rng):
     # kernel accumulates collisions in f32 then casts once; XLA's scatter-add
     # rounds per-collision — allow that rounding headroom
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gx), rtol=0.03, atol=0.05)
+
+
+def test_mhsa_matches_einsum_attention(rng):
+    from simple3dformer_tpu.kernels.mhsa import mhsa
+
+    B, N, H, D = 2, 100, 3, 64  # N=100 exercises pad-column masking
+    scale = D ** -0.5
+    q, k, v = (jnp.asarray(rng.randn(B, N, H, D).astype(np.float32)) * 0.3
+               for _ in range(3))
+
+    def ref(q, k, v):
+        a = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+        a = jax.nn.softmax(a, axis=-1)
+        return jnp.einsum("bhnm,bmhd->bnhd", a, v)
+
+    out = mhsa(q, k, v, scale, 512, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(q, k, v)),
+                               rtol=2e-3, atol=2e-3)
+
+    cot = jnp.asarray(rng.randn(B, N, H, D).astype(np.float32))
+    gk = jax.grad(lambda *a: jnp.sum(mhsa(*a, scale, 512, True) * cot),
+                  argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(lambda *a: jnp.sum(ref(*a) * cot), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
