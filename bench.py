@@ -40,6 +40,8 @@ import contextlib
 import io
 import json
 import re
+import shutil
+import tempfile
 import time
 
 import numpy as np
@@ -164,13 +166,18 @@ _RATE = re.compile(r"\(([0-9.]+) samples/sec\)")
 
 def _cli_rate(main_fn, argv) -> float | None:
     """Drive a CLI main on synthetic data; return the last epoch's rate
-    (epoch 1 is compile-dominated; the run uses 2 epochs)."""
+    (epoch 1 is compile-dominated; the run uses 2 epochs). A FRESH out_dir
+    every call: a reused one holds the previous run's checkpoint and the CLI
+    resumes past the target epoch, training zero steps."""
+    out_dir = tempfile.mkdtemp(prefix="bench_cli_")
     buf = io.StringIO()
     try:
         with contextlib.redirect_stdout(buf):
-            main_fn(argv)
+            main_fn(argv + [f"out_dir={out_dir}"])
     except Exception:
         return None
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     rates = _RATE.findall(buf.getvalue())
     return float(rates[-1]) if rates else None
 
@@ -181,19 +188,18 @@ def secondary_metrics() -> list:
 
     out = []
     r = _cli_rate(train_s3dis_semseg.main,
-                  ["synthetic=128", "epoch=2", "out_dir=/tmp/bench_s3dis"])
+                  ["synthetic=256", "epoch=2", "dtype=bf16"])
     if r is not None:
-        out.append({"metric": "s3dis_semseg_samples_per_sec_per_chip",
+        out.append({"metric": "s3dis_semseg_bf16_samples_per_sec_per_chip",
                     "value": r, "unit": "samples/sec/chip"})
     r = _cli_rate(train_partseg.main,
-                  ["synthetic=256", "epoch=2", "batch_size=16",
-                   "out_dir=/tmp/bench_partseg"])
+                  ["synthetic=512", "epoch=2", "batch_size=16", "dtype=bf16"])
     if r is not None:
-        out.append({"metric": "partseg_samples_per_sec_per_chip",
+        out.append({"metric": "partseg_bf16_samples_per_sec_per_chip",
                     "value": r, "unit": "samples/sec/chip"})
     r = _cli_rate(train_cls.main,
                   ["model=Hengshuang", "synthetic=256", "epoch=2",
-                   "dtype=bf16", "out_dir=/tmp/bench_hengshuang"])
+                   "dtype=bf16"])
     if r is not None:
         out.append({"metric": "hengshuang_cls_bf16_samples_per_sec_per_chip",
                     "value": r, "unit": "samples/sec/chip"})
