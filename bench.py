@@ -52,7 +52,13 @@ import jax.numpy as jnp
 REF_GPU_SPS = 300.0  # provisional single-V100 estimate; see module docstring
 
 BATCH = 32
-STEPS_PER_DISPATCH = 50
+# One dispatch = one scanned multi-step jit call, mirroring the CLIs' whole-
+# epoch-per-dispatch design: through the tunnel a synchronized dispatch costs
+# ~24-33 ms regardless of body size plus a host->device put for the index
+# array, so short dispatches understate chip throughput (50-step dispatches
+# measured 3.2 ms/step where the isolated train step runs ~1.8 ms). Index
+# arrays are staged before the timed region, like the HBM-resident data.
+STEPS_PER_DISPATCH = 250
 WARMUP_DISPATCHES = 1
 MEASURE_DISPATCHES = 3
 N_SAMPLES = 2048
@@ -96,7 +102,7 @@ def main(dtype=None, batch=BATCH, quiet=False):
         },
         mesh=mesh,
     )
-    run = make_scanned_train_steps(model, tx, ds, rules)
+    run = make_scanned_train_steps(model, tx, ds, rules, unroll=4)
 
     global_batch = batch * n_chips
 
@@ -106,19 +112,20 @@ def main(dtype=None, batch=BATCH, quiet=False):
             .astype(np.int32)
         )
 
-    def dispatch(state):
-        state, metrics = run(state, make_idx(), 1e-3, jax.random.key(0))
+    def dispatch(state, idx):
+        state, metrics = run(state, idx, 1e-3, jax.random.key(0))
         # true synchronization: fetch a scalar. On the tunneled axon backend
         # block_until_ready can return before the computation finishes, which
         # silently inflates throughput numbers.
         float(metrics["loss"][-1])
         return state
 
-    for _ in range(WARMUP_DISPATCHES):
-        state = dispatch(state)
+    staged = [make_idx() for _ in range(WARMUP_DISPATCHES + MEASURE_DISPATCHES)]
+    for i in range(WARMUP_DISPATCHES):
+        state = dispatch(state, staged[i])
     t0 = time.time()
-    for _ in range(MEASURE_DISPATCHES):
-        state = dispatch(state)
+    for i in range(MEASURE_DISPATCHES):
+        state = dispatch(state, staged[WARMUP_DISPATCHES + i])
     dt = time.time() - t0
 
     total = MEASURE_DISPATCHES * STEPS_PER_DISPATCH * global_batch

@@ -150,6 +150,7 @@ def make_scanned_train_steps(
     x_key: str = "x",
     y_key: str = "y",
     x_dtype=jnp.float32,
+    unroll: int = 1,
 ):
     """Run many train steps per dispatch with an HBM-resident dataset.
 
@@ -159,6 +160,12 @@ def make_scanned_train_steps(
     ``augment_fn(key, x)`` inside the step, and applies one optimizer update.
     One dispatch per S steps amortizes host link latency to nothing — the
     TPU-native answer to the reference's DataLoader worker pool.
+
+    ``unroll`` unrolls the scan body that many times inside the while loop:
+    for small-model steps the per-iteration loop bookkeeping is measurable
+    (flagship recipe: 2.65 -> 2.32 ms/step at unroll=4, +19%), at unroll x
+    the compile time/size. 8 measured slower than 4; big-model steps (LwF
+    deit_base) should stay at 1 — their compiles are already minutes long.
     """
 
     def one_step(state: TrainState, arrays, idx, lr, rng):
@@ -213,7 +220,7 @@ def make_scanned_train_steps(
             new_state, metrics = one_step(carry, arrays, idx, lr, rng)
             return new_state, metrics
 
-        return jax.lax.scan(body, state, idx_matrix)
+        return jax.lax.scan(body, state, idx_matrix, unroll=unroll)
 
     # The corpus is a jit ARGUMENT (not a captured constant): closure-captured
     # jnp arrays are embedded into the HLO and can overflow program limits.

@@ -174,3 +174,35 @@ def test_device_augment_matches_host_semantics(rng):
         out[..., 3:], src[:, :1, 3:]
     ).all(-1)
     assert ok.all()
+
+
+def test_scanned_train_unroll_matches_unroll1(rng):
+    """unroll=3 (non-divisor of S=4) is semantically the same scan.
+
+    Tolerance: XLA fuses the unrolled body differently, so results agree to
+    rounding (measured 1 ulp on the loss trace), not bit-exactly.
+    """
+    x, y = datasets.synthetic_voxels(64, 12, 4)
+    ds = DeviceResidentDataset({"x": x, "y": y})
+    emb = make_embed_layer("VoxelEmbed", voxel_size=12, cell_size=4,
+                           patch_size=3, embed_dim=192)
+    model = VoxelViT(voxel_embed=emb, n_classes=4,
+                     transformer_backbone="deit_tiny_patch16_224")
+    variables = jax.jit(
+        lambda k, a, b: model.init(k, a, b, method=model.init_all)
+    )(jax.random.key(0), jnp.zeros((2, 12, 12, 12)), jnp.zeros((2, 224, 224, 3)))
+    tx = make_optimizer("Adam")
+    idx = jnp.asarray(ds.epoch_indices(16, rng))  # [4, 16]
+
+    outs = []
+    for unroll in (1, 3):
+        # fresh copies: the donated state would otherwise delete the shared
+        # param buffers between loop iterations
+        params = jax.tree_util.tree_map(jnp.array, variables["params"])
+        state = create_train_state(params, tx)
+        run = make_scanned_train_steps(model, tx, ds, unroll=unroll)
+        state, metrics = run(state, idx, 1e-3, jax.random.key(1))
+        outs.append((np.asarray(metrics["loss"]),
+                     np.asarray(state.params["head"]["kernel"])))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5, atol=1e-7)
