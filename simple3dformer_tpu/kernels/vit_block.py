@@ -1,0 +1,591 @@
+"""Pallas TPU kernel: fully fused pre-norm ViT block for SMALL sequences.
+
+The flagship voxel recipe runs deit_small at 26 tokens — there the core's
+f/b is 1.61 ms while its matmul content is 0.36 ms (floor-corrected honest
+protocol, BASELINE.md round-2e): ~78% of the core is XLA op-scheduling,
+LayerNorm/GELU round trips, and tiny-attention overhead, not math. The big-N
+story is the opposite (the einsum path runs at the hardware ceiling at
+N ~ 1k, kernels/mhsa.py), so this kernel targets N <= 512 where XLA's
+per-op model loses.
+
+One kernel call = one whole block (timm Block semantics, reference
+/root/reference/models/DeIT.py backbone via nn/layers.Block):
+
+    h = x + proj(heads(softmax(q k^T / sqrt(d)) v))   with qkv = LN1(x) Wqkv
+    y = h + fc2(gelu_tanh(fc1(LN2(h))))
+
+* Rows of several SAMPLES pack into one [T, D] grid tile (T = s*N); the
+  attention mask is block-diagonal on row//N == col//N, so cross-sample
+  logits never contribute. Pad rows form whole fake samples (softmax over
+  them is uniform, outputs sliced off, cotangents zero).
+* Everything — both LayerNorms, qkv/proj/fc1/fc2 matmuls, per-head softmax,
+  GELU, residuals — happens in VMEM; HBM sees only x in / y out and the
+  weights.
+* The backward is a second kernel that RECOMPUTES the forward in VMEM
+  (zero saved residuals) and accumulates all 12 weight/bias/LN grads in
+  f32 VMEM across the sequential grid, flash-attention style.
+
+Numerics: LN statistics, softmax, GELU, residuals and all accumulations in
+f32; matmul operands in the model compute dtype (bf16 models: bf16 operands,
+f32 accumulation — strictly tighter than flax's bf16 bias adds). GELU is the
+tanh approximation, matching flax nn.gelu(approximate=True) used by
+nn/layers.Mlp.
+
+Dispatch policy lives in nn/layers.Block: OPT-IN (S3F_FUSED_BLOCK=1),
+gated to N <= 512, D % 128 == 0, dropout/droppath inactive, no
+attention-map capture. FINAL MEASURED VERDICT (clean repeated A/B,
+floor-corrected, flagship shape): fwd 0.31 ms fused vs 0.37 XLA; f/b
+parity (1.49-1.52 both); net-negative inside scanned train steps (e2e
+12.7k vs 13.9k samples/sec). XLA compiles this tiny-sequence core well —
+the measurement discipline here is the deliverable, and the kernel stays
+available for shapes/backends where the balance differs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20)
+_NEG = -1e30
+_EPS = 1e-6
+# gelu_tanh constants (flax nn.gelu approximate=True)
+_C = 0.7978845608028654  # sqrt(2/pi)
+_A = 0.044715
+
+# weight operand order (wrapper and kernels must agree)
+WNAMES = ("ln1_s", "ln1_b", "wqkv", "bqkv", "wproj", "bproj",
+          "ln2_s", "ln2_b", "w1", "b1", "w2", "b2")
+
+
+def _dot(a, b, cdt, ta=False, tb=False):
+    """MXU dot with f32 accumulation, operands cast to compute dtype."""
+    ca = (0,) if ta else (1,)
+    cb = (1,) if tb else (0,)
+    return jax.lax.dot_general(
+        a.astype(cdt), b.astype(cdt), dimension_numbers=((ca, cb), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _ln(x, scale, bias):
+    """f32 LayerNorm over the last dim; returns (normed*scale+bias, xhat, rstd)."""
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + _EPS)
+    xh = xc * rstd
+    return xh * scale + bias, xh, rstd
+
+
+def _ln_bwd(g_y, xh, rstd, scale):
+    """Grad of y = xh*scale+bias wrt the LN input (scale/bias grads outside)."""
+    g_xh = g_y * scale
+    m1 = jnp.mean(g_xh, axis=1, keepdims=True)
+    m2 = jnp.mean(g_xh * xh, axis=1, keepdims=True)
+    return rstd * (g_xh - m1 - xh * m2)
+
+
+def _gelu(a):
+    u = _C * (a + _A * a * a * a)
+    return 0.5 * a * (1.0 + jnp.tanh(u))
+
+
+def _gelu_grad(a):
+    u = _C * (a + _A * a * a * a)
+    t = jnp.tanh(u)
+    return 0.5 * (1.0 + t) + 0.5 * a * (1.0 - t * t) * _C * (1.0 + 3.0 * _A * a * a)
+
+
+def _attn_mask(t, n):
+    """[T, T] True where row and col belong to the same sample."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0) // n
+    c = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1) // n
+    return r == c
+
+
+def _fwd_math(x, w, *, n, heads, cdt):
+    """Forward for one [T, D] tile. Returns intermediates for reuse by bwd.
+
+    w is a dict keyed by WNAMES; everything f32 in, f32 out.
+    """
+    t, d = x.shape
+    dh = d // heads
+    scale = dh ** -0.5
+
+    z1, xh1, rstd1 = _ln(x, w["ln1_s"], w["ln1_b"])
+    qkv = _dot(z1, w["wqkv"], cdt) + w["bqkv"]  # [T, 3D] f32
+    mask = _attn_mask(t, n)
+    ps, os = [], []
+    for h in range(heads):
+        q = qkv[:, h * dh:(h + 1) * dh]
+        k = qkv[:, d + h * dh:d + (h + 1) * dh]
+        v = qkv[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        s = _dot(q, k, cdt, tb=True) * scale
+        s = jnp.where(mask, s, _NEG)
+        s = s - jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=1, keepdims=True)  # [T, T]
+        ps.append(p)
+        os.append(_dot(p, v, cdt))  # [T, dh]
+    o = jnp.concatenate(os, axis=1)  # [T, D]
+    attn_out = _dot(o, w["wproj"], cdt) + w["bproj"]
+    h1 = x + attn_out
+    z2, xh2, rstd2 = _ln(h1, w["ln2_s"], w["ln2_b"])
+    a1 = _dot(z2, w["w1"], cdt) + w["b1"]  # [T, Hh]
+    g1 = _gelu(a1)
+    y = h1 + _dot(g1, w["w2"], cdt) + w["b2"]
+    return dict(z1=z1, xh1=xh1, rstd1=rstd1, qkv=qkv, ps=ps, o=o, h1=h1,
+                z2=z2, xh2=xh2, rstd2=rstd2, a1=a1, g1=g1, y=y)
+
+
+def _fwd_kernel(x_ref, *wrefs, n, heads, cdt):
+    out_ref = wrefs[-1]
+    w = {k: r[...] for k, r in zip(WNAMES, wrefs[:-1])}
+    res = _fwd_math(x_ref[...].astype(jnp.float32), w, n=n, heads=heads,
+                    cdt=cdt)
+    out_ref[...] = res["y"].astype(out_ref.dtype)
+
+
+def _bwd_kernel(x_ref, *rest, n, heads, cdt):
+    wrefs = rest[:len(WNAMES)]
+    g_ref = rest[len(WNAMES)]
+    gx_ref = rest[len(WNAMES) + 1]
+    gwrefs = rest[len(WNAMES) + 2:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for r in gwrefs:
+            r[...] = jnp.zeros_like(r)
+
+    w = {k: r[...] for k, r in zip(WNAMES, wrefs)}
+    gw = {k: r for k, r in zip(WNAMES, gwrefs)}
+    x = x_ref[...].astype(jnp.float32)
+    t, d = x.shape
+    dh = d // heads
+    scale = dh ** -0.5
+    res = _fwd_math(x, w, n=n, heads=heads, cdt=cdt)
+
+    g_y = g_ref[...].astype(jnp.float32)
+    # MLP branch
+    g_g1 = _dot(g_y, w["w2"], cdt, tb=True)  # [T, Hh]
+    gw["w2"][...] += _dot(res["g1"], g_y, cdt, ta=True)
+    gw["b2"][...] += jnp.sum(g_y, axis=0, keepdims=True)
+    g_a1 = g_g1 * _gelu_grad(res["a1"])
+    g_z2 = _dot(g_a1, w["w1"], cdt, tb=True)  # [T, D]
+    gw["w1"][...] += _dot(res["z2"], g_a1, cdt, ta=True)
+    gw["b1"][...] += jnp.sum(g_a1, axis=0, keepdims=True)
+    gw["ln2_s"][...] += jnp.sum(g_z2 * res["xh2"], axis=0, keepdims=True)
+    gw["ln2_b"][...] += jnp.sum(g_z2, axis=0, keepdims=True)
+    g_h1 = g_y + _ln_bwd(g_z2, res["xh2"], res["rstd2"], w["ln2_s"])
+
+    # attention branch
+    g_o = _dot(g_h1, w["wproj"], cdt, tb=True)  # [T, D]
+    gw["wproj"][...] += _dot(res["o"], g_h1, cdt, ta=True)
+    gw["bproj"][...] += jnp.sum(g_h1, axis=0, keepdims=True)
+    qkv = res["qkv"]
+    g_qkv_parts = []
+    g_k_parts = []
+    g_v_parts = []
+    for h in range(heads):
+        q = qkv[:, h * dh:(h + 1) * dh]
+        k = qkv[:, d + h * dh:d + (h + 1) * dh]
+        p = res["ps"][h]
+        g_oh = g_o[:, h * dh:(h + 1) * dh]
+        g_p = _dot(g_oh, qkv[:, 2 * d + h * dh:2 * d + (h + 1) * dh], cdt,
+                   tb=True)  # [T, T]
+        g_v_parts.append(_dot(p, g_oh, cdt, ta=True))
+        g_s = p * (g_p - jnp.sum(g_p * p, axis=1, keepdims=True)) * scale
+        g_qkv_parts.append(_dot(g_s, k, cdt))  # g_q
+        g_k_parts.append(_dot(g_s, q, cdt, ta=True))
+    g_qkv = jnp.concatenate(g_qkv_parts + g_k_parts + g_v_parts, axis=1)
+    g_z1 = _dot(g_qkv, w["wqkv"], cdt, tb=True)  # [T, D]
+    gw["wqkv"][...] += _dot(res["z1"], g_qkv, cdt, ta=True)
+    gw["bqkv"][...] += jnp.sum(g_qkv, axis=0, keepdims=True)
+    gw["ln1_s"][...] += jnp.sum(g_z1 * res["xh1"], axis=0, keepdims=True)
+    gw["ln1_b"][...] += jnp.sum(g_z1, axis=0, keepdims=True)
+    g_x = g_h1 + _ln_bwd(g_z1, res["xh1"], res["rstd1"], w["ln1_s"])
+    gx_ref[...] = g_x.astype(gx_ref.dtype)
+
+
+def _tile_rows(b, n, target=512):
+    """samples-per-tile s and padded batch: T = s*n rows, T near `target`.
+
+    Mosaic needs the sublane dim (T) divisible by 8; pick the largest s at or
+    under the target with s*n % 8 == 0 (s=8 always qualifies as a fallback).
+    """
+    s = 8
+    for cand in range(max(1, target // n), 0, -1):
+        if (cand * n) % 8 == 0:
+            s = cand
+            break
+    bpad = ((b + s - 1) // s) * s
+    return s, bpad
+
+
+def _pack(x, bpad):
+    b, n, d = x.shape
+    if bpad != b:
+        x = jnp.pad(x, ((0, bpad - b), (0, 0), (0, 0)))
+    return x.reshape(bpad * n, d)
+
+
+def _wlist(weights):
+    """Canonical f32 2D operand list in WNAMES order."""
+    out = []
+    for k in WNAMES:
+        v = weights[k].astype(jnp.float32)
+        out.append(v.reshape(1, -1) if v.ndim == 1 else v)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def fused_vit_block(x, weights, heads, cdt=None, interpret=False, tile=512):
+    """timm pre-norm Block on [B, N, D]; weights dict keyed by WNAMES.
+
+    cdt: matmul compute dtype (None -> x.dtype). `tile` bounds the row-tile
+    size T = s*N (s samples packed per grid cell): bigger tiles help the MXU
+    M dim but the block-diagonal attention waste grows with s (dense [T, T]
+    logits vs s disjoint [N, N] blocks). Returns [B, N, D] in x.dtype.
+    """
+    return _fwd_impl(x, weights, heads, cdt, interpret, tile)
+
+
+def _fwd_impl(x, weights, heads, cdt, interpret, tile=512):
+    b, n, d = x.shape
+    cdt = cdt or x.dtype
+    s, bpad = _tile_rows(b, n, tile)
+    x2 = _pack(x, bpad)
+    t = s * n
+    wl = _wlist(weights)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, n=n, heads=heads, cdt=cdt),
+        grid=(bpad // s,),
+        in_specs=[pl.BlockSpec((t, d), lambda i: (i, 0))]
+        + [pl.BlockSpec(w.shape, lambda i: (0, 0)) for w in wl],
+        out_specs=pl.BlockSpec((t, d), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bpad * n, d), x.dtype),
+        compiler_params=_VMEM,
+        interpret=interpret,
+    )(x2, *wl)
+    return out.reshape(bpad, n, d)[:b]
+
+
+def _fwd(x, weights, heads, cdt, interpret, tile):
+    return _fwd_impl(x, weights, heads, cdt, interpret, tile), (x, weights)
+
+
+def _bwd(heads, cdt, interpret, tile, res, g):
+    x, weights = res
+    b, n, d = x.shape
+    cdt = cdt or x.dtype
+    s, bpad = _tile_rows(b, n, tile)
+    x2 = _pack(x, bpad)
+    g2 = _pack(g, bpad)
+    t = s * n
+    wl = _wlist(weights)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, n=n, heads=heads, cdt=cdt),
+        grid=(bpad // s,),
+        in_specs=[pl.BlockSpec((t, d), lambda i: (i, 0))]
+        + [pl.BlockSpec(w.shape, lambda i: (0, 0)) for w in wl]
+        + [pl.BlockSpec((t, d), lambda i: (i, 0))],
+        out_specs=[pl.BlockSpec((t, d), lambda i: (i, 0))]
+        + [pl.BlockSpec(w.shape, lambda i: (0, 0)) for w in wl],
+        out_shape=[jax.ShapeDtypeStruct((bpad * n, d), x.dtype)]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wl],
+        compiler_params=_VMEM,
+        interpret=interpret,
+    )(x2, *wl, g2)
+    gx = outs[0].reshape(bpad, n, d)[:b]
+    gw = {}
+    for k, gval in zip(WNAMES, outs[1:]):
+        want = weights[k]
+        gw[k] = gval.reshape(want.shape).astype(want.dtype)
+    return gx, gw
+
+
+fused_vit_block.defvjp(_fwd, _bwd)
+
+
+def vit_block_reference(x, weights, heads):
+    """Plain-jnp mirror (parity oracle); matches the kernel's f32 policy."""
+    b, n, d = x.shape
+    res = _fwd_math(x.reshape(b * n, d).astype(jnp.float32),
+                    {k: (w.reshape(1, -1) if w.ndim == 1 else w).astype(
+                        jnp.float32) for k, w in weights.items()},
+                    n=n, heads=heads, cdt=jnp.float32)
+    return res["y"].reshape(b, n, d).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Training hybrid: Pallas fused FORWARD that saves its intermediates, plain
+# jnp/XLA BACKWARD from those residuals. Measured (flagship shape, 12-block
+# chain, floor-corrected): fused fwd 0.31 ms vs XLA 0.68 ms, but a fully
+# in-kernel recompute backward ends at parity with XLA (1.48 vs 1.51 ms f/b)
+# because recompute re-buys the forward FLOPs. Saving residuals from the
+# fused forward keeps the 2.2x forward and hands XLA a residual-based
+# backward — the same grad dots it would emit itself.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_res(x_ref, *refs, n, heads, cdt):
+    wrefs = refs[:len(WNAMES)]
+    y_ref, qkv_ref, ps_ref, o_ref, h1_ref, a1_ref = refs[len(WNAMES):]
+    w = {k: r[...] for k, r in zip(WNAMES, wrefs)}
+    res = _fwd_math(x_ref[...].astype(jnp.float32), w, n=n, heads=heads,
+                    cdt=cdt)
+    y_ref[...] = res["y"].astype(y_ref.dtype)
+    qkv_ref[...] = res["qkv"]
+    ps_ref[...] = jnp.concatenate(res["ps"], axis=1)  # [T, heads*T]
+    o_ref[...] = res["o"]
+    h1_ref[...] = res["h1"]
+    a1_ref[...] = res["a1"]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def fused_vit_block_train(x, weights, heads, cdt=None, interpret=False,
+                          tile=512):
+    """Like fused_vit_block but with an XLA residual-based backward."""
+    return _fwd_impl(x, weights, heads, cdt, interpret, tile)
+
+
+def _fwd_train(x, weights, heads, cdt, interpret, tile):
+    b, n, d = x.shape
+    cdt = cdt or x.dtype
+    s, bpad = _tile_rows(b, n, tile)
+    x2 = _pack(x, bpad)
+    t = s * n
+    hh = weights["w1"].shape[-1]
+    wl = _wlist(weights)
+    rows = bpad * n
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel_res, n=n, heads=heads, cdt=cdt),
+        grid=(bpad // s,),
+        in_specs=[pl.BlockSpec((t, d), lambda i: (i, 0))]
+        + [pl.BlockSpec(w.shape, lambda i: (0, 0)) for w in wl],
+        out_specs=[
+            pl.BlockSpec((t, d), lambda i: (i, 0)),
+            pl.BlockSpec((t, 3 * d), lambda i: (i, 0)),
+            pl.BlockSpec((t, heads * t), lambda i: (i, 0)),
+            pl.BlockSpec((t, d), lambda i: (i, 0)),
+            pl.BlockSpec((t, d), lambda i: (i, 0)),
+            pl.BlockSpec((t, hh), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, d), x.dtype),
+            jax.ShapeDtypeStruct((rows, 3 * d), jnp.float32),
+            jax.ShapeDtypeStruct((rows, heads * t), jnp.float32),
+            jax.ShapeDtypeStruct((rows, d), jnp.float32),
+            jax.ShapeDtypeStruct((rows, d), jnp.float32),
+            jax.ShapeDtypeStruct((rows, hh), jnp.float32),
+        ],
+        compiler_params=_VMEM,
+        interpret=interpret,
+    )(x2, *wl)
+    y = outs[0].reshape(bpad, n, d)[:b]
+    return y, (x, weights, outs[1], outs[2], outs[3], outs[4], outs[5])
+
+
+def _bwd_kernel_res(x_ref, *rest, n, heads, cdt):
+    """Residual-based backward: grad dots only, zero recompute of matmuls.
+
+    LN statistics / z1 / z2 / gelu(a1) are re-derived in-VMEM from x, h1, a1
+    (pure VPU, no MXU work); everything matmul-shaped reads the forward's
+    saved qkv / probs / o."""
+    nw = len(WNAMES)
+    wrefs = rest[:nw]
+    g_ref, qkv_ref, ps_ref, o_ref, h1_ref, a1_ref = rest[nw:nw + 6]
+    gx_ref = rest[nw + 6]
+    gwrefs = rest[nw + 7:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for r in gwrefs:
+            r[...] = jnp.zeros_like(r)
+
+    w = {k: r[...] for k, r in zip(WNAMES, wrefs)}
+    gw = {k: r for k, r in zip(WNAMES, gwrefs)}
+    x = x_ref[...].astype(jnp.float32)
+    t, d = x.shape
+    dh = d // heads
+    scale = dh ** -0.5
+
+    _, xh1, rstd1 = _ln(x, w["ln1_s"], w["ln1_b"])
+    z1 = xh1 * w["ln1_s"] + w["ln1_b"]
+    h1 = h1_ref[...]
+    _, xh2, rstd2 = _ln(h1, w["ln2_s"], w["ln2_b"])
+    z2 = xh2 * w["ln2_s"] + w["ln2_b"]
+    a1 = a1_ref[...]
+    g1 = _gelu(a1)
+    qkv = qkv_ref[...]
+    o = o_ref[...]
+
+    g_y = g_ref[...].astype(jnp.float32)
+    # MLP branch
+    g_g1 = _dot(g_y, w["w2"], cdt, tb=True)
+    gw["w2"][...] += _dot(g1, g_y, cdt, ta=True)
+    gw["b2"][...] += jnp.sum(g_y, axis=0, keepdims=True)
+    g_a1 = g_g1 * _gelu_grad(a1)
+    g_z2 = _dot(g_a1, w["w1"], cdt, tb=True)
+    gw["w1"][...] += _dot(z2, g_a1, cdt, ta=True)
+    gw["b1"][...] += jnp.sum(g_a1, axis=0, keepdims=True)
+    gw["ln2_s"][...] += jnp.sum(g_z2 * xh2, axis=0, keepdims=True)
+    gw["ln2_b"][...] += jnp.sum(g_z2, axis=0, keepdims=True)
+    g_h1 = g_y + _ln_bwd(g_z2, xh2, rstd2, w["ln2_s"])
+
+    # attention branch
+    g_o = _dot(g_h1, w["wproj"], cdt, tb=True)
+    gw["wproj"][...] += _dot(o, g_h1, cdt, ta=True)
+    gw["bproj"][...] += jnp.sum(g_h1, axis=0, keepdims=True)
+    g_qkv_parts, g_k_parts, g_v_parts = [], [], []
+    for h in range(heads):
+        q = qkv[:, h * dh:(h + 1) * dh]
+        k = qkv[:, d + h * dh:d + (h + 1) * dh]
+        v = qkv[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        p = ps_ref[...][:, h * t:(h + 1) * t]
+        g_oh = g_o[:, h * dh:(h + 1) * dh]
+        g_p = _dot(g_oh, v, cdt, tb=True)
+        g_v_parts.append(_dot(p, g_oh, cdt, ta=True))
+        g_s = p * (g_p - jnp.sum(g_p * p, axis=1, keepdims=True)) * scale
+        g_qkv_parts.append(_dot(g_s, k, cdt))
+        g_k_parts.append(_dot(g_s, q, cdt, ta=True))
+    g_qkv = jnp.concatenate(g_qkv_parts + g_k_parts + g_v_parts, axis=1)
+    g_z1 = _dot(g_qkv, w["wqkv"], cdt, tb=True)
+    gw["wqkv"][...] += _dot(z1, g_qkv, cdt, ta=True)
+    gw["bqkv"][...] += jnp.sum(g_qkv, axis=0, keepdims=True)
+    gw["ln1_s"][...] += jnp.sum(g_z1 * xh1, axis=0, keepdims=True)
+    gw["ln1_b"][...] += jnp.sum(g_z1, axis=0, keepdims=True)
+    g_x = g_h1 + _ln_bwd(g_z1, xh1, rstd1, w["ln1_s"])
+    gx_ref[...] = g_x.astype(gx_ref.dtype)
+
+
+def _bwd_train(heads, cdt, interpret, tile, res, g):
+    x, weights, qkv, ps, o, h1, a1 = res
+    b, n, d = x.shape
+    cdt = cdt or x.dtype
+    s, bpad = _tile_rows(b, n, tile)
+    t = s * n
+    hh = weights["w1"].shape[-1]
+    wl = _wlist(weights)
+    x2 = _pack(x, bpad)
+    g2 = _pack(g, bpad)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel_res, n=n, heads=heads, cdt=cdt),
+        grid=(bpad // s,),
+        in_specs=[pl.BlockSpec((t, d), lambda i: (i, 0))]
+        + [pl.BlockSpec(w.shape, lambda i: (0, 0)) for w in wl]
+        + [
+            pl.BlockSpec((t, d), lambda i: (i, 0)),
+            pl.BlockSpec((t, 3 * d), lambda i: (i, 0)),
+            pl.BlockSpec((t, heads * t), lambda i: (i, 0)),
+            pl.BlockSpec((t, d), lambda i: (i, 0)),
+            pl.BlockSpec((t, d), lambda i: (i, 0)),
+            pl.BlockSpec((t, hh), lambda i: (i, 0)),
+        ],
+        out_specs=[pl.BlockSpec((t, d), lambda i: (i, 0))]
+        + [pl.BlockSpec(w.shape, lambda i: (0, 0)) for w in wl],
+        out_shape=[jax.ShapeDtypeStruct((bpad * n, d), x.dtype)]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wl],
+        compiler_params=_VMEM,
+        interpret=interpret,
+    )(x2, *wl, g2, qkv, ps, o, h1, a1)
+    gx = outs[0].reshape(bpad, n, d)[:b]
+    gw = {}
+    for k, gval in zip(WNAMES, outs[1:]):
+        want = weights[k]
+        gw[k] = gval.reshape(want.shape).astype(want.dtype)
+    return gx, gw
+
+
+def _bwd_train_xla(heads, cdt, interpret, tile, res, g):
+    x, weights, qkv, ps, o, h1, a1 = res
+    b, n, d = x.shape
+    cdt = cdt or x.dtype
+    s, bpad = _tile_rows(b, n, tile)
+    t = s * n
+    ntiles = bpad // s
+    dh = d // heads
+    scale = dh ** -0.5
+    f32 = jnp.float32
+
+    def cast(a):
+        return a.astype(cdt) if cdt != f32 else a
+
+    x2 = _pack(x, bpad).astype(f32)  # [R, D]
+    g_y = _pack(g, bpad).astype(f32)
+    w = {k: (v.reshape(1, -1) if v.ndim == 1 else v).astype(f32)
+         for k, v in weights.items()}
+
+    def ln_stats(v, scale_w):
+        mu = jnp.mean(v, axis=1, keepdims=True)
+        xc = v - mu
+        var = jnp.mean(xc * xc, axis=1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + _EPS)
+        xh = xc * rstd
+        return xh, rstd, xh * scale_w
+
+    def mm(a, bb, ta=False, tb=False):
+        ca = (0,) if ta else (1,)
+        cb = (1,) if tb else (0,)
+        return jax.lax.dot_general(
+            cast(a), cast(bb), dimension_numbers=((ca, cb), ((), ())),
+            preferred_element_type=f32)
+
+    xh1, rstd1, _ = ln_stats(x2, w["ln1_s"])
+    z1 = xh1 * w["ln1_s"] + w["ln1_b"]
+    xh2, rstd2, _ = ln_stats(h1, w["ln2_s"])
+    z2 = xh2 * w["ln2_s"] + w["ln2_b"]
+    g1 = _gelu(a1)
+
+    gw = {}
+    # MLP branch
+    g_g1 = mm(g_y, w["w2"], tb=True)
+    gw["w2"] = mm(g1, g_y, ta=True)
+    gw["b2"] = jnp.sum(g_y, axis=0)
+    g_a1 = g_g1 * _gelu_grad(a1)
+    g_z2 = mm(g_a1, w["w1"], tb=True)
+    gw["w1"] = mm(z2, g_a1, ta=True)
+    gw["b1"] = jnp.sum(g_a1, axis=0)
+    gw["ln2_s"] = jnp.sum(g_z2 * xh2, axis=0)
+    gw["ln2_b"] = jnp.sum(g_z2, axis=0)
+    g_h1 = g_y + _ln_bwd(g_z2, xh2, rstd2, w["ln2_s"])
+
+    # attention branch
+    g_o = mm(g_h1, w["wproj"], tb=True)
+    gw["wproj"] = mm(o, g_h1, ta=True)
+    gw["bproj"] = jnp.sum(g_h1, axis=0)
+    # per-tile, per-head batched attention grads
+    p4 = ps.reshape(ntiles, t, heads, t)  # [nt, Ti, h, Tj]
+    qkv4 = qkv.reshape(ntiles, t, 3, heads, dh)
+    q4, k4, v4 = qkv4[:, :, 0], qkv4[:, :, 1], qkv4[:, :, 2]  # [nt, T, h, dh]
+    go4 = g_o.reshape(ntiles, t, heads, dh)
+    g_p = jnp.einsum("tihd,tjhd->tihj", cast(go4), cast(v4),
+                     preferred_element_type=f32)
+    g_v = jnp.einsum("tihj,tihd->tjhd", cast(p4), cast(go4),
+                     preferred_element_type=f32)
+    g_s = p4 * (g_p - jnp.sum(g_p * p4, axis=3, keepdims=True)) * scale
+    g_q = jnp.einsum("tihj,tjhd->tihd", cast(g_s), cast(k4),
+                     preferred_element_type=f32)
+    g_k = jnp.einsum("tihj,tihd->tjhd", cast(g_s), cast(q4),
+                     preferred_element_type=f32)
+    g_qkv = jnp.stack([g_q, g_k, g_v], axis=2).reshape(ntiles * t, 3 * d)
+    g_z1 = mm(g_qkv, w["wqkv"], tb=True)
+    gw["wqkv"] = mm(z1, g_qkv, ta=True)
+    gw["bqkv"] = jnp.sum(g_qkv, axis=0)
+    gw["ln1_s"] = jnp.sum(g_z1 * xh1, axis=0)
+    gw["ln1_b"] = jnp.sum(g_z1, axis=0)
+    g_x = g_h1 + _ln_bwd(g_z1, xh1, rstd1, w["ln1_s"])
+
+    gx = g_x.reshape(bpad, n, d)[:b].astype(x.dtype)
+    gw_out = {}
+    for kk in WNAMES:
+        want = weights[kk]
+        gw_out[kk] = gw[kk].reshape(want.shape).astype(want.dtype)
+    return gx, gw_out
+
+
+fused_vit_block_train.defvjp(_fwd_train, _bwd_train)

@@ -116,10 +116,11 @@ class Attention(nn.Module):
     dicts, /root/reference/models/vit_3d_2d_pretrain.py:302) — heads are a
     constructor arg here and parity configs mirror that.
 
-    On TPU at seq >= 256 the attention itself runs as the stock Pallas flash
-    kernel (no [B, H, N, N] materialization; ~f32 softmax accumulation —
-    strictly tighter numerics than the bf16 einsum path). Set USE_FLASH =
-    False to force the einsum path everywhere.
+    The default compute path is the dense einsum — measured at the hardware
+    ceiling for this framework's shapes (BASELINE.md round-2d). Two opt-in
+    Pallas alternatives exist for other regimes: S3F_FLASH=1 (stock flash)
+    and S3F_MHSA=1 (kernels/mhsa.py), both guarded to inactive attention
+    dropout and no rollout capture.
     """
 
     num_heads: int
@@ -192,6 +193,21 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
+# Fused whole-block kernel switch (kernels/vit_block.py): OPT-IN via
+# S3F_FUSED_BLOCK=1 (or USE_FUSED_BLOCK = True). Final verdict at the
+# flagship shape (deit_small, B=32, N=26, f32, clean repeated A/B with the
+# floor-corrected protocol): 12-block forward 0.31 ms fused vs 0.37 ms XLA
+# (small real win); f/b 1.49-1.52 ms BOTH paths (parity — the residual-
+# saving hybrid backward exactly matches XLA's residual backward cost); and
+# INSIDE the scanned train step the fused path measures net-NEGATIVE
+# (12.7k vs 13.9k samples/sec e2e at unroll=4: the ~150 MB of per-step
+# fwd->bwd residuals interact badly with XLA's while-loop buffer
+# assignment). XLA compiles this tiny-sequence core well; the kernel ships
+# opt-in, fully tested, for shapes/backends where the balance differs.
+USE_FUSED_BLOCK: bool | None = None
+_FUSED_TILE = 104
+
+
 class Block(nn.Module):
     """Pre-norm transformer block: x + attn(ln(x)); x + mlp(ln(x))."""
 
@@ -204,9 +220,53 @@ class Block(nn.Module):
     norm_eps: float = 1e-6
     dtype: Optional[jnp.dtype] = None
 
+    def _fused_weights(self):
+        p = self.variables["params"]
+        return dict(
+            ln1_s=p["norm1"]["scale"], ln1_b=p["norm1"]["bias"],
+            wqkv=p["attn"]["qkv"]["kernel"], bqkv=p["attn"]["qkv"]["bias"],
+            wproj=p["attn"]["proj"]["kernel"],
+            bproj=p["attn"]["proj"]["bias"],
+            ln2_s=p["norm2"]["scale"], ln2_b=p["norm2"]["bias"],
+            w1=p["mlp"]["fc1"]["kernel"], b1=p["mlp"]["fc1"]["bias"],
+            w2=p["mlp"]["fc2"]["kernel"], b2=p["mlp"]["fc2"]["bias"],
+        )
+
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
+        from ..ops import pointops
+
         dim = x.shape[-1]
+        N = x.shape[-2]
+        # `deterministic` may be a traced value under jit; only a static
+        # python True can steer dispatch
+        det_static = isinstance(deterministic, bool) and deterministic
+        use_fused = USE_FUSED_BLOCK
+        if use_fused is None:
+            use_fused = (bool(pointops._env_switch("S3F_FUSED_BLOCK"))
+                         and jax.default_backend() == "tpu")
+        use_fused = (
+            use_fused
+            and not self.is_initializing()
+            and x.ndim == 3
+            and N <= 512
+            and dim % 128 == 0
+            and dim % self.num_heads == 0
+            and self.mlp_ratio == 4.0
+            and self.qkv_bias
+            # dropout/droppath must be inactive: identity at rate 0 or eval
+            and (det_static or (self.drop == 0.0 and self.attn_drop == 0.0
+                                and self.drop_path == 0.0))
+            and not self.is_mutable_collection("intermediates")
+        )
+        if use_fused:
+            from ..kernels.vit_block import (fused_vit_block,
+                                             fused_vit_block_train)
+
+            fn = fused_vit_block if det_static else fused_vit_block_train
+            return fn(x, self._fused_weights(), self.num_heads, self.dtype,
+                      False, _FUSED_TILE)
+
         h = nn.LayerNorm(epsilon=self.norm_eps, name="norm1")(x)
         h = Attention(
             num_heads=self.num_heads,

@@ -130,3 +130,59 @@ def test_mhsa_matches_einsum_attention(rng):
     for a, b in zip(gk, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-3)
+
+
+def _block_weights(params):
+    p = params
+    return dict(
+        ln1_s=p["norm1"]["scale"], ln1_b=p["norm1"]["bias"],
+        wqkv=p["attn"]["qkv"]["kernel"], bqkv=p["attn"]["qkv"]["bias"],
+        wproj=p["attn"]["proj"]["kernel"], bproj=p["attn"]["proj"]["bias"],
+        ln2_s=p["norm2"]["scale"], ln2_b=p["norm2"]["bias"],
+        w1=p["mlp"]["fc1"]["kernel"], b1=p["mlp"]["fc1"]["bias"],
+        w2=p["mlp"]["fc2"]["kernel"], b2=p["mlp"]["fc2"]["bias"],
+    )
+
+
+def test_fused_vit_block_matches_flax_block(rng):
+    from simple3dformer_tpu.nn.layers import Block
+    from simple3dformer_tpu.kernels.vit_block import (fused_vit_block,
+                                                      fused_vit_block_train)
+
+    B, N, D, H = 5, 26, 128, 2  # B=5 exercises fake-sample batch padding
+    x = jnp.asarray(rng.randn(B, N, D).astype(np.float32) * 0.5)
+    blk = Block(num_heads=H)
+    params = blk.init(jax.random.key(1), x)["params"]
+    w = _block_weights(params)
+    ref = blk.apply({"params": params}, x)
+    for fn in (fused_vit_block, fused_vit_block_train):
+        out = fn(x, w, H, None, True, 104)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_fused_vit_block_grads_match_flax(rng):
+    from simple3dformer_tpu.nn.layers import Block
+    from simple3dformer_tpu.kernels.vit_block import (fused_vit_block,
+                                                      fused_vit_block_train)
+
+    B, N, D, H = 3, 26, 128, 2
+    x = jnp.asarray(rng.randn(B, N, D).astype(np.float32) * 0.5)
+    blk = Block(num_heads=H)
+    params = blk.init(jax.random.key(1), x)["params"]
+    w = _block_weights(params)
+    cot = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
+    gx_r, gp_r = jax.grad(
+        lambda x, p: jnp.sum(blk.apply({"params": p}, x) * cot),
+        argnums=(0, 1))(x, params)
+    gw_r = _block_weights(gp_r)
+    for fn in (fused_vit_block, fused_vit_block_train):
+        gx_k, gw_k = jax.grad(
+            lambda x, w: jnp.sum(fn(x, w, H, None, True, 104) * cot),
+            argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_r),
+                                   rtol=1e-3, atol=1e-4)
+        for k in gw_k:
+            np.testing.assert_allclose(
+                np.asarray(gw_k[k]), np.asarray(gw_r[k]), rtol=3e-3,
+                atol=3e-3, err_msg=k)
