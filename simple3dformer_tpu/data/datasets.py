@@ -594,3 +594,120 @@ def synthetic_points(n: int, npoint: int, channels: int, n_classes: int,
     else:
         y = rng.randint(0, n_classes, size=(n,)).astype(np.int32)
     return x, y
+
+
+# --- ScanObjectNN raw-bin utilities (reference data/__init__.py:14-161) ----
+# The reference vendors these from the ScanObjectNN repo; plyfile / pc_util
+# are not importable there (latent module-level breakage this rebuild does
+# not replicate). save_ply here writes binary-little-endian PLY with the
+# same vertex property layout without the plyfile dependency.
+
+
+def save_ply(points, filename, colors=None, normals=None):
+    """Write [N,3] points (+optional [N,3] normals / [N,3] colors in [0,1])
+    as a binary PLY (reference data/__init__.py:14-46)."""
+    n = len(points)
+    fields = [("x", "<f4"), ("y", "<f4"), ("z", "<f4")]
+    cols = [np.asarray(points, dtype=np.float32)]
+    if normals is not None:
+        fields += [("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4")]
+        cols.append(np.asarray(normals, dtype=np.float32))
+    if colors is not None:
+        fields += [("red", "u1"), ("green", "u1"), ("blue", "u1")]
+        cols.append((np.asarray(colors) * 255).astype(np.uint8))
+    rec = np.empty(n, dtype=fields)
+    for arr, names in zip(cols, (fields[0:3], fields[3:6], fields[-3:])):
+        for j, (name, _) in enumerate(names):
+            rec[name] = arr[:, j]
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element vertex {n}"]
+    header += [f"property {'uchar' if f == 'u1' else 'float'} {name}"
+               for name, f in fields]
+    header.append("end_header\n")
+    with open(filename, "wb") as f:
+        f.write("\n".join(header).encode("ascii"))
+        f.write(rec.tobytes())
+
+
+def read_ply(filename):
+    """Read back a save_ply file -> dict of property -> [N] array."""
+    with open(filename, "rb") as f:
+        header = []
+        while True:
+            line = f.readline().decode("ascii").strip()
+            header.append(line)
+            if line == "end_header":
+                break
+        n = int(next(x for x in header if x.startswith("element vertex")
+                     ).split()[-1])
+        fields = [(x.split()[2], "<f4" if x.split()[1] == "float" else "u1")
+                  for x in header if x.startswith("property")]
+        rec = np.frombuffer(f.read(), dtype=fields, count=n)
+    return {name: rec[name] for name, _ in fields}
+
+
+def load_pc_file(path, suncg: bool = False, with_bg: bool = True):
+    """Raw ScanObjectNN .bin object -> [N,3] xyz
+    (reference data/__init__.py:48-73: float32 stream = count then rows of
+    x,y,z,nx,ny,nz,r,g,b,label,nyu_label; with_bg=False keeps the largest
+    non-{0,1,2} nyu class)."""
+    pc = np.fromfile(path, dtype=np.float32)
+    pc = pc[1:].reshape(-1, 3 if suncg else 11)
+    if with_bg or suncg:
+        return np.array(pc[:, 0:3])
+    keep = pc[:, -1] > 2
+    values, counts = np.unique(pc[keep, -1], return_counts=True)
+    major = values[np.argmax(counts)]
+    return np.array(pc[pc[:, -1] == major, 0:3])
+
+
+def load_pc_data(index_pickle, bin_dir, num_points: int = 1024,
+                 suncg: bool = False, with_bg: bool = True):
+    """Pickle-index variant of the h5 loaders (data/__init__.py:75-99):
+    each entry names a .bin file; objects with < num_points are dropped."""
+    import pickle
+
+    with open(index_pickle, "rb") as handle:
+        entries = pickle.load(handle)
+    pcs, labels = [], []
+    for entry in entries:
+        name = entry["filename"].replace("objects_bin/", "")
+        pc = load_pc_file(os.path.join(bin_dir, name), suncg=suncg,
+                          with_bg=with_bg)
+        if pc.shape[0] < num_points:
+            continue
+        pcs.append(pc)
+        labels.append(entry["label"])
+    return pcs, labels
+
+
+def get_current_data(pcs, labels, num_points: int, rng=None):
+    """Per-epoch resample of VARIABLE-SIZE clouds (data/__init__.py:106-129);
+    unlike the h5 variant each cloud gets its own subset permutation."""
+    r = _np_rng(rng)
+    sampled = []
+    for pc in pcs:
+        if pc.shape[0] < num_points:
+            raise ValueError(f"cloud has {pc.shape[0]} < {num_points} points")
+        idx = np.arange(pc.shape[0])
+        r.shuffle(idx)
+        sampled.append(pc[idx[:num_points], :])
+    sampled = np.array(sampled)
+    labels = np.array(labels)
+    order = np.arange(len(labels))
+    r.shuffle(order)
+    return sampled[order], labels[order]
+
+
+def normalize_pcs(pcs):
+    """In-place unit-sphere scale per cloud (data/__init__.py:131-141)."""
+    for pc in pcs:
+        pc /= np.max(np.sqrt(np.sum(pc ** 2, axis=-1)))
+    return pcs
+
+
+def center_pcs(pcs):
+    """In-place centroid centering (data/__init__.py:159-166, SUNCG)."""
+    for pc in pcs:
+        pc -= np.mean(pc, axis=0)
+    return pcs

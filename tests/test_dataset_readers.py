@@ -157,3 +157,59 @@ def test_s3dis_dataset_reader(tmp_path, rng):
     assert x[:, 3:6].max() <= 1.0  # rgb scaled
     assert 0 <= x[:, 6:9].min() and x[:, 6:9].max() <= 1.0  # normalized coords
     assert ds.labelweights.shape == (13,)
+
+
+def test_save_ply_roundtrip(tmp_path, rng):
+    pts = rng.randn(50, 3).astype(np.float32)
+    nrm = rng.randn(50, 3).astype(np.float32)
+    col = rng.rand(50, 3).astype(np.float32)
+    for normals, colors in [(None, None), (nrm, None), (None, col), (nrm, col)]:
+        p = tmp_path / "x.ply"
+        datasets.save_ply(pts, str(p), colors=colors, normals=normals)
+        back = datasets.read_ply(str(p))
+        np.testing.assert_allclose(back["x"], pts[:, 0])
+        np.testing.assert_allclose(back["z"], pts[:, 2])
+        if normals is not None:
+            np.testing.assert_allclose(back["ny"], nrm[:, 1])
+        if colors is not None:
+            np.testing.assert_array_equal(
+                back["red"], (col[:, 0] * 255).astype(np.uint8))
+
+
+def test_load_pc_file_bg_filtering(tmp_path, rng):
+    # rows: x,y,z,nx,ny,nz,r,g,b,label,nyu_label
+    rows = rng.randn(100, 11).astype(np.float32)
+    rows[:40, -1] = 0  # background classes 0/1/2
+    rows[40:60, -1] = 1
+    rows[60:90, -1] = 7  # majority foreground
+    rows[90:, -1] = 9
+    blob = np.concatenate([[np.float32(100)], rows.ravel()])
+    p = tmp_path / "obj.bin"
+    blob.astype(np.float32).tofile(p)
+
+    full = datasets.load_pc_file(str(p), with_bg=True)
+    assert full.shape == (100, 3)
+    np.testing.assert_allclose(full, rows[:, :3])
+    fg = datasets.load_pc_file(str(p), with_bg=False)
+    np.testing.assert_allclose(fg, rows[60:90, :3])  # largest non-bg class
+
+
+def test_get_current_data_variable_size(rng):
+    pcs = [rng.randn(30 + i, 3).astype(np.float32) for i in range(4)]
+    labels = [0, 1, 2, 3]
+    r = np.random.RandomState(3)
+    pts, lab = datasets.get_current_data(pcs, labels, 16, rng=r)
+    assert pts.shape == (4, 16, 3)
+    assert sorted(lab.tolist()) == [0, 1, 2, 3]
+    with pytest.raises(ValueError):
+        datasets.get_current_data(pcs, labels, 64, rng=r)
+
+
+def test_normalize_and_center_pcs(rng):
+    pcs = [rng.randn(20, 3).astype(np.float32) + 5 for _ in range(2)]
+    datasets.center_pcs(pcs)
+    for pc in pcs:
+        np.testing.assert_allclose(np.mean(pc, axis=0), 0, atol=1e-5)
+    datasets.normalize_pcs(pcs)
+    for pc in pcs:
+        assert abs(np.max(np.linalg.norm(pc, axis=1)) - 1.0) < 1e-5
