@@ -711,3 +711,11 @@ def center_pcs(pcs):
     for pc in pcs:
         pc -= np.mean(pc, axis=0)
     return pcs
+
+
+def normalize_pcs_multiview(pcs, num_view: int = 5):
+    """Per-view unit-sphere scale for [B, V, N, 3] multiview clouds
+    (data/__init__.py:144-157)."""
+    out = np.array([[view / np.max(np.sqrt(np.sum(view ** 2, axis=-1)))
+                     for view in pc[:num_view]] for pc in pcs])
+    return out
