@@ -200,12 +200,12 @@ def secondary_metrics() -> list:
         out.append({"metric": "s3dis_semseg_bf16_samples_per_sec_per_chip",
                     "value": r, "unit": "samples/sec/chip"})
     r = _cli_rate(train_partseg.main,
-                  ["synthetic=512", "epoch=2", "batch_size=16", "dtype=bf16"])
+                  ["synthetic=1024", "epoch=2", "batch_size=16", "dtype=bf16"])
     if r is not None:
         out.append({"metric": "partseg_bf16_samples_per_sec_per_chip",
                     "value": r, "unit": "samples/sec/chip"})
     r = _cli_rate(train_cls.main,
-                  ["model=Hengshuang", "synthetic=256", "epoch=2",
+                  ["model=Hengshuang", "synthetic=512", "epoch=2",
                    "dtype=bf16"])
     if r is not None:
         out.append({"metric": "hengshuang_cls_bf16_samples_per_sec_per_chip",
