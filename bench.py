@@ -32,7 +32,7 @@ on synthetic data and parsing their epoch-2 (post-compile) rate lines, so
 BENCH_r*.json makes point-path regressions machine-visible.
 
 Measured headroom beyond the recipe defaults (same chip): batch 256 + bf16
-compute reaches ~20.9k samples/sec/chip (`python bench.py --bf16 --batch=256`);
+compute reaches ~22.7k samples/sec/chip (`python bench.py --bf16 --batch=256`);
 the recipe-faithful default (batch 32, f32) is reported as the headline.
 """
 
