@@ -245,6 +245,13 @@ class Block(nn.Module):
         if use_fused is None:
             use_fused = (bool(pointops._env_switch("S3F_FUSED_BLOCK"))
                          and jax.default_backend() == "tpu")
+        if use_fused and x.ndim == 3:
+            from ..kernels.vit_block import _tile_rows
+
+            # the odd-N fallback packs s=8 samples per tile; cap the row-tile
+            # so the per-head [T, T] probs stay within the VMEM budget
+            _s, _ = _tile_rows(x.shape[0], N)
+            use_fused = _s * N <= 1024
         use_fused = (
             use_fused
             and not self.is_initializing()

@@ -230,3 +230,17 @@ def test_gather_dispatch_dtype_gate(rng, monkeypatch):
     ref = jnp.take_along_axis(pts, idx.reshape(2, -1, 1), axis=1
                               ).reshape(2, 400, 4, 96)
     assert bool(jnp.all(out == ref))
+
+
+def test_fused_block_declines_vmem_hostile_shapes(rng, monkeypatch):
+    """Odd N (e.g. 257, the partseg core) falls into the s=8 tile fallback
+    whose per-head [T, T] probs would blow the VMEM budget — dispatch must
+    decline and run the flax path."""
+    import simple3dformer_tpu.nn.layers as L
+
+    monkeypatch.setattr(L, "USE_FUSED_BLOCK", True)
+    x = jnp.asarray(rng.randn(2, 257, 128).astype(np.float32) * 0.3)
+    blk = L.Block(num_heads=2)
+    params = blk.init(jax.random.key(0), x)
+    out = blk.apply(params, x)  # must not route to the kernel (no crash)
+    assert np.isfinite(np.asarray(out)).all()
