@@ -186,6 +186,10 @@ def main(argv=None):
             seed = args.seed
             imagenet_data_path = "./data/ImageNet/ILSVRC/Data/CLS-LOC"
 
+            @staticmethod
+            def get(key, default=None):
+                return getattr(_ImgCfg, key, default)
+
         images = load_images(_ImgCfg)
         image_ds = DeviceResidentDataset({"images": images}, mesh=mesh)
         teacher = make_teacher("deit_base_patch16_224")

@@ -70,3 +70,15 @@ def test_train_pure_mlp_cli(tmp_path):
         "--embed-layer", "VoxelEmbed_m40_vip_s7", "--outf", str(tmp_path),
     ])
     assert 0.0 <= acc <= 1.0
+
+
+def test_train_cls_voxel_cli_lwf(tmp_path):
+    """The --lwf branch (teacher + joint loss + image canvas) must run
+    end-to-end; regression for the _ImgCfg.get breakage (2026-08-17)."""
+    acc = train_cls_voxel.main([
+        "--dataset", "ModelNet40", "--synthetic", "32", "--batchSize", "8",
+        "--epochs", "1", "--transformer-name", "deit_tiny_patch16_224",
+        "--embed-layer", "VoxelEmbed", "--cell-size", "6", "--patch-size", "5",
+        "--lr", "1e-3", "--lwf", "--outf", str(tmp_path),
+    ])
+    assert 0.0 <= acc <= 1.0
