@@ -322,13 +322,14 @@ def vit_block_reference(x, weights, heads):
 
 
 # ---------------------------------------------------------------------------
-# Training hybrid: Pallas fused FORWARD that saves its intermediates, plain
-# jnp/XLA BACKWARD from those residuals. Measured (flagship shape, 12-block
-# chain, floor-corrected): fused fwd 0.31 ms vs XLA 0.68 ms, but a fully
-# in-kernel recompute backward ends at parity with XLA (1.48 vs 1.51 ms f/b)
-# because recompute re-buys the forward FLOPs. Saving residuals from the
-# fused forward keeps the 2.2x forward and hands XLA a residual-based
-# backward — the same grad dots it would emit itself.
+# Training hybrid: Pallas fused FORWARD that saves its intermediates, plus a
+# residual-based Pallas BACKWARD (_bwd_kernel_res) that does only the grad
+# dots — zero recompute of forward matmuls. Measured (flagship shape,
+# 12-block chain, floor-corrected): fused fwd 0.31 ms vs XLA 0.68 ms, but a
+# fully in-kernel RECOMPUTE backward ends at parity with XLA (1.48 vs
+# 1.51 ms f/b) because recompute re-buys the forward FLOPs. Saving residuals
+# keeps the 2.2x forward and makes the backward the same grad dots XLA would
+# emit itself, just VMEM-resident.
 # ---------------------------------------------------------------------------
 
 
@@ -499,93 +500,6 @@ def _bwd_train(heads, cdt, interpret, tile, res, g):
         want = weights[k]
         gw[k] = gval.reshape(want.shape).astype(want.dtype)
     return gx, gw
-
-
-def _bwd_train_xla(heads, cdt, interpret, tile, res, g):
-    x, weights, qkv, ps, o, h1, a1 = res
-    b, n, d = x.shape
-    cdt = cdt or x.dtype
-    s, bpad = _tile_rows(b, n, tile)
-    t = s * n
-    ntiles = bpad // s
-    dh = d // heads
-    scale = dh ** -0.5
-    f32 = jnp.float32
-
-    def cast(a):
-        return a.astype(cdt) if cdt != f32 else a
-
-    x2 = _pack(x, bpad).astype(f32)  # [R, D]
-    g_y = _pack(g, bpad).astype(f32)
-    w = {k: (v.reshape(1, -1) if v.ndim == 1 else v).astype(f32)
-         for k, v in weights.items()}
-
-    def ln_stats(v, scale_w):
-        mu = jnp.mean(v, axis=1, keepdims=True)
-        xc = v - mu
-        var = jnp.mean(xc * xc, axis=1, keepdims=True)
-        rstd = jax.lax.rsqrt(var + _EPS)
-        xh = xc * rstd
-        return xh, rstd, xh * scale_w
-
-    def mm(a, bb, ta=False, tb=False):
-        ca = (0,) if ta else (1,)
-        cb = (1,) if tb else (0,)
-        return jax.lax.dot_general(
-            cast(a), cast(bb), dimension_numbers=((ca, cb), ((), ())),
-            preferred_element_type=f32)
-
-    xh1, rstd1, _ = ln_stats(x2, w["ln1_s"])
-    z1 = xh1 * w["ln1_s"] + w["ln1_b"]
-    xh2, rstd2, _ = ln_stats(h1, w["ln2_s"])
-    z2 = xh2 * w["ln2_s"] + w["ln2_b"]
-    g1 = _gelu(a1)
-
-    gw = {}
-    # MLP branch
-    g_g1 = mm(g_y, w["w2"], tb=True)
-    gw["w2"] = mm(g1, g_y, ta=True)
-    gw["b2"] = jnp.sum(g_y, axis=0)
-    g_a1 = g_g1 * _gelu_grad(a1)
-    g_z2 = mm(g_a1, w["w1"], tb=True)
-    gw["w1"] = mm(z2, g_a1, ta=True)
-    gw["b1"] = jnp.sum(g_a1, axis=0)
-    gw["ln2_s"] = jnp.sum(g_z2 * xh2, axis=0)
-    gw["ln2_b"] = jnp.sum(g_z2, axis=0)
-    g_h1 = g_y + _ln_bwd(g_z2, xh2, rstd2, w["ln2_s"])
-
-    # attention branch
-    g_o = mm(g_h1, w["wproj"], tb=True)
-    gw["wproj"] = mm(o, g_h1, ta=True)
-    gw["bproj"] = jnp.sum(g_h1, axis=0)
-    # per-tile, per-head batched attention grads
-    p4 = ps.reshape(ntiles, t, heads, t)  # [nt, Ti, h, Tj]
-    qkv4 = qkv.reshape(ntiles, t, 3, heads, dh)
-    q4, k4, v4 = qkv4[:, :, 0], qkv4[:, :, 1], qkv4[:, :, 2]  # [nt, T, h, dh]
-    go4 = g_o.reshape(ntiles, t, heads, dh)
-    g_p = jnp.einsum("tihd,tjhd->tihj", cast(go4), cast(v4),
-                     preferred_element_type=f32)
-    g_v = jnp.einsum("tihj,tihd->tjhd", cast(p4), cast(go4),
-                     preferred_element_type=f32)
-    g_s = p4 * (g_p - jnp.sum(g_p * p4, axis=3, keepdims=True)) * scale
-    g_q = jnp.einsum("tihj,tjhd->tihd", cast(g_s), cast(k4),
-                     preferred_element_type=f32)
-    g_k = jnp.einsum("tihj,tihd->tjhd", cast(g_s), cast(q4),
-                     preferred_element_type=f32)
-    g_qkv = jnp.stack([g_q, g_k, g_v], axis=2).reshape(ntiles * t, 3 * d)
-    g_z1 = mm(g_qkv, w["wqkv"], tb=True)
-    gw["wqkv"] = mm(z1, g_qkv, ta=True)
-    gw["bqkv"] = jnp.sum(g_qkv, axis=0)
-    gw["ln1_s"] = jnp.sum(g_z1 * xh1, axis=0)
-    gw["ln1_b"] = jnp.sum(g_z1, axis=0)
-    g_x = g_h1 + _ln_bwd(g_z1, xh1, rstd1, w["ln1_s"])
-
-    gx = g_x.reshape(bpad, n, d)[:b].astype(x.dtype)
-    gw_out = {}
-    for kk in WNAMES:
-        want = weights[kk]
-        gw_out[kk] = gw[kk].reshape(want.shape).astype(want.dtype)
-    return gx, gw_out
 
 
 fused_vit_block_train.defvjp(_fwd_train, _bwd_train)

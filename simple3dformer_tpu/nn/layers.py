@@ -142,7 +142,10 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, N, 3, H, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)  # each [B, N, H, D]
 
-        plain_ok = (not (self.attn_drop > 0 and not deterministic)
+        # `deterministic` may be a traced value under jit; treat anything
+        # non-static as "dropout possibly live" so we never branch on a tracer
+        det_static = isinstance(deterministic, bool) and deterministic
+        plain_ok = ((self.attn_drop == 0.0 or det_static)
                     and not self.is_mutable_collection("intermediates")
                     and head_dim % 64 == 0)
         use_flash = USE_FLASH
@@ -249,8 +252,12 @@ class Block(nn.Module):
             from ..kernels.vit_block import _tile_rows
 
             # the odd-N fallback packs s=8 samples per tile; cap the row-tile
-            # so the per-head [T, T] probs stay within the VMEM budget
-            _s, _ = _tile_rows(x.shape[0], N)
+            # so the per-head [T, T] probs stay within the VMEM budget. Must
+            # evaluate the SAME tile target the dispatch below passes
+            # (_FUSED_TILE), not _tile_rows' default: for even N in ~130-256
+            # not divisible by 8 the two targets select different s and the
+            # guard would approve a shape the kernel then falls back on.
+            _s, _ = _tile_rows(x.shape[0], N, _FUSED_TILE)
             use_fused = _s * N <= 1024
         use_fused = (
             use_fused
@@ -261,6 +268,9 @@ class Block(nn.Module):
             and dim % self.num_heads == 0
             and self.mlp_ratio == 4.0
             and self.qkv_bias
+            # kernels/vit_block.py hardcodes LayerNorm eps 1e-6 (_EPS); a
+            # non-default norm_eps must take the flax path
+            and self.norm_eps == 1e-6
             # dropout/droppath must be inactive: identity at rate 0 or eval
             and (det_static or (self.drop == 0.0 and self.attn_drop == 0.0
                                 and self.drop_path == 0.0))

@@ -71,7 +71,15 @@ USE_PALLAS_GATHER: bool | None = None
 
 
 def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Batched gather. points [B,N,C], idx [B, ...] int -> [B, ..., C]."""
+    """Batched gather. points [B,N,C], idx [B, ...] int -> [B, ..., C].
+
+    Out-of-range index semantics differ between the two backends: the XLA
+    path (take_along_axis) CLAMPS indices to [0, N-1], while the bf16 Pallas
+    one-hot gather returns ZERO rows for them (an all-false one-hot selects
+    nothing). Every in-repo caller produces in-range indices (argsort/top_k/
+    FPS outputs), so the difference is unobservable today — but don't rely
+    on clamping for new bf16 callers.
+    """
     B = points.shape[0]
     C = points.shape[-1]
     flat = idx.reshape(B, -1)
