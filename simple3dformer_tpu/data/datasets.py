@@ -144,16 +144,99 @@ class ShapeNetV2VoxelDataset:
         return idx[:cut], idx[cut:]
 
 
+def _maxpool3d_np(x: np.ndarray, k: int) -> np.ndarray:
+    """torch MaxPool3d(k) semantics on a dense [X,Y,Z] grid: non-overlapping
+    k-cubes, remainder voxels dropped (floor division, like torch's default
+    stride=kernel)."""
+    a, b, c = (s // k for s in x.shape)
+    x = x[: a * k, : b * k, : c * k]
+    return x.reshape(a, k, b, k, c, k).max(axis=(1, 3, 5))
+
+
+class ShapeNetV2Contrastive(ShapeNetV2VoxelDataset):
+    """ShapeNetV2 voxels + a pre-materialized augmented low-res pair
+    (shapenet_v2.py:58-104 ShapeNetV2_Contrastive).
+
+    Reference semantics mirrored: at construction, every sample that lacks a
+    sibling `<name>.npy` gets one — the binvox grid is affine-augmented
+    (falling back to the clean grid when augmentation fails), then 4x
+    max-pooled (128^3 -> 32^3) and saved as int. __getitem__ then returns the
+    clean full-res 'voxel' plus the cached low-res 'contrastive'. Files are
+    only ever *created* (existing .npy are kept, like the reference's
+    os.path.exists skip), so the expensive augmentation runs once per tree.
+    """
+
+    def __init__(self, data_root: str, idx2cls: dict[int, str],
+                 pool: int = 4, rng: np.random.RandomState | None = None):
+        from . import voxel_augment
+
+        super().__init__(data_root, idx2cls)
+        self.rng = rng if rng is not None else np.random.RandomState()
+        created = 0
+        for path in self.samples:
+            if os.path.exists(path + ".npy"):
+                continue
+            try:
+                with open(path, "rb") as f:
+                    vox = voxel_augment.add_affine_transformation_to_voxel(
+                        f, rng=self.rng
+                    ).data
+                created += 1
+            except Exception:
+                with open(path, "rb") as f:
+                    vox = binvox.read_as_3d_array(f).data
+            small = _maxpool3d_np(vox.astype(np.float32), pool).astype(np.int32)
+            with open(path + ".npy", "wb") as out:
+                np.save(out, small)
+        self.created = created
+
+    def __getitem__(self, idx: int):
+        sample = super().__getitem__(idx)
+        del sample["model_id"]  # reference's contrastive dict omits it (:100)
+        sample["contrastive"] = np.load(self.samples[idx] + ".npy")
+        return sample
+
+
+def _fps_numpy(xyz: np.ndarray, npoint: int,
+               rng: np.random.RandomState) -> np.ndarray:
+    """Host-side farthest-point sampling. xyz [N,3] -> indices [npoint].
+
+    Same iteration as /root/reference/data/pointnet_util.py:53-73 (random
+    start point, running min-distance, argmax) — numpy because this runs in
+    the per-sample reader, where a device dispatch per item would be absurd
+    over the tunnel."""
+    n = xyz.shape[0]
+    idx = np.empty(npoint, dtype=np.int64)
+    dist = np.full(n, np.inf, dtype=np.float64)
+    farthest = int(rng.randint(0, n))
+    for i in range(npoint):
+        idx[i] = farthest
+        d = np.sum((xyz - xyz[farthest]) ** 2, axis=1)
+        np.minimum(dist, d, out=dist)
+        farthest = int(np.argmax(dist))
+    return idx
+
+
 class ModelNetPointCloud:
     """Resampled-txt point clouds with in-RAM cache
-    (modelnet40_point_cloud.py:8-60)."""
+    (modelnet40_point_cloud.py:8-60).
+
+    uniform=True FPS-resamples npoint points instead of taking the first
+    npoint rows. DELIBERATE FIX of reference breakage: the reference's branch
+    (modelnet40_point_cloud.py:44-45) calls the torch [B,N,3]
+    farthest_point_sample on an unbatched numpy [N,6] array (AttributeError
+    on .device) and would assign the returned *indices* as the point set —
+    the path could never have run. Implemented here as intended: FPS over
+    xyz, gather the full rows."""
 
     def __init__(self, root: str, npoint: int = 1024, split: str = "train",
-                 uniform: bool = False, normal_channel: bool = True):
+                 uniform: bool = False, normal_channel: bool = True,
+                 rng: np.random.RandomState | None = None):
         self.root = root
         self.npoints = npoint
         self.uniform = uniform
         self.normal_channel = normal_channel
+        self.rng = rng if rng is not None else np.random.RandomState()
         cat = [l.rstrip() for l in open(os.path.join(root, "modelnet40_shape_names.txt"))]
         self.classes = {n: i for i, n in enumerate(cat)}
         ids = [
@@ -181,7 +264,10 @@ class ModelNetPointCloud:
         with open(path) as f:
             pts = np.fromstring(f.read().replace("\n", ","), sep=",", dtype=np.float32)
         pts = pts.reshape(-1, 6)
-        pts = pts[: self.npoints]
+        if self.uniform:
+            pts = pts[_fps_numpy(pts[:, 0:3], self.npoints, self.rng)]
+        else:
+            pts = pts[: self.npoints]
         pts[:, 0:3] = _pc_normalize_np(pts[:, 0:3])
         if not self.normal_channel:
             pts = pts[:, 0:3]

@@ -101,6 +101,93 @@ def test_modelnet_point_cloud_reader(tmp_path, rng):
     assert ds3[0][0].shape == (16, 3)
 
 
+def test_modelnet_point_cloud_uniform_fps(tmp_path, rng):
+    """uniform=True FPS-resamples (reference intent, modelnet40_point_cloud.py
+    :44-45; the reference branch itself could never run — see the class
+    docstring). Checked against a torch mirror of pointnet_util FPS with the
+    same start point."""
+    import torch
+
+    name = "airplane"
+    (tmp_path / "modelnet40_shape_names.txt").write_text(name + "\n")
+    (tmp_path / name).mkdir()
+    pts = rng.randn(64, 6).astype(np.float32)
+    np.savetxt(tmp_path / name / f"{name}_0000.txt", pts, delimiter=",",
+               fmt="%.6f")
+    (tmp_path / "modelnet40_train.txt").write_text(f"{name}_0000\n")
+
+    class Start0(np.random.RandomState):
+        def randint(self, *a, **k):
+            return 0
+
+    ds = datasets.ModelNetPointCloud(str(tmp_path), npoint=16, split="train",
+                                     uniform=True, rng=Start0())
+    got, _ = ds[0]
+    assert got.shape == (16, 6)
+
+    # torch oracle: farthest_point_sample (pointnet_util.py:53-73), start 0
+    xyz = torch.from_numpy(np.loadtxt(
+        tmp_path / name / f"{name}_0000.txt", delimiter=",",
+        dtype=np.float32)[None, :, 0:3])
+    distance = torch.full((1, 64), 1e10)
+    farthest = torch.zeros(1, dtype=torch.long)
+    idx = torch.zeros(1, 16, dtype=torch.long)
+    for i in range(16):
+        idx[:, i] = farthest
+        c = xyz[torch.arange(1), farthest].view(1, 1, 3)
+        distance = torch.minimum(distance, ((xyz - c) ** 2).sum(-1))
+        farthest = distance.argmax(-1)
+    want = np.loadtxt(tmp_path / name / f"{name}_0000.txt", delimiter=",",
+                      dtype=np.float32)[idx[0].numpy()]
+    want[:, 0:3] = datasets._pc_normalize_np(want[:, 0:3])
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    # non-uniform reader on the same tree takes the first rows instead
+    ds2 = datasets.ModelNetPointCloud(str(tmp_path), npoint=16, split="train")
+    first, _ = ds2[0]
+    assert not np.allclose(got, first)
+
+
+def test_shapenet_v2_contrastive(tmp_path, rng):
+    """Pre-materialized .npy pairs + MaxPool3d(4) downsample
+    (shapenet_v2.py:58-104), pooling checked against torch."""
+    import torch
+
+    from simple3dformer_tpu.data.classmaps import CLASSES_SHAPENET
+
+    for synset, models in [("02691156", ["m1"]), ("02747177", ["m2"])]:
+        for m in models:
+            _write_binvox(
+                str(tmp_path / synset / m / "models" / "x.solid.binvox"),
+                rng.rand(8, 8, 8) > 0.5,
+            )
+    ds = datasets.ShapeNetV2Contrastive(str(tmp_path), CLASSES_SHAPENET,
+                                        rng=np.random.RandomState(0))
+    assert len(ds) == 2
+    for p in ds.samples:
+        assert os.path.exists(p + ".npy")
+    s = ds[0]
+    assert set(s) == {"voxel", "cls_idx", "contrastive"}
+    assert s["voxel"].shape == (8, 8, 8)
+    assert s["contrastive"].shape == (2, 2, 2)
+
+    # .npy content == torch MaxPool3d(4) of SOME valid grid (augmented or
+    # clean-fallback); verify the pooling operator itself exactly vs torch
+    g = rng.rand(8, 8, 8).astype(np.float32)
+    ours = datasets._maxpool3d_np(g, 4)
+    theirs = torch.nn.MaxPool3d(4)(torch.from_numpy(g[None, None]))[0, 0]
+    np.testing.assert_array_equal(ours, theirs.numpy())
+
+    # second construction reuses the existing .npy files (reference's
+    # os.path.exists skip): nothing new created, content stable
+    before = {p: np.load(p + ".npy") for p in ds.samples}
+    ds2 = datasets.ShapeNetV2Contrastive(str(tmp_path), CLASSES_SHAPENET,
+                                         rng=np.random.RandomState(1))
+    assert ds2.created == 0
+    for p in ds2.samples:
+        np.testing.assert_array_equal(np.load(p + ".npy"), before[p])
+
+
 def test_part_normal_dataset_reader(tmp_path, rng):
     synset = "02691156"
     (tmp_path / "synsetoffset2category.txt").write_text(f"Airplane\t{synset}\n")
