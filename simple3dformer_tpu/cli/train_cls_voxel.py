@@ -177,20 +177,13 @@ def main(argv=None):
         # LwF branch (/root/reference/train_cls_voxel.py:238-268): frozen DeiT
         # teacher + ImageNet-val images zipped with the voxel batches.
         from ..nn.vit import make_teacher
-        from ..train.lwf import make_scanned_lwf_train_steps
+        from ..train.lwf import load_images, make_scanned_lwf_train_steps
         from ..utils.torch_convert import maybe_load_deit
-        from .train_partseg_lwf import load_images
 
-        class _ImgCfg:
-            synthetic = args.synthetic or 256
-            seed = args.seed
-            imagenet_data_path = "./data/ImageNet/ILSVRC/Data/CLS-LOC"
-
-            @staticmethod
-            def get(key, default=None):
-                return getattr(_ImgCfg, key, default)
-
-        images = load_images(_ImgCfg)
+        # path hardcoded in the reference too (train_cls_voxel.py:174)
+        images = load_images("./data/ImageNet/ILSVRC/Data/CLS-LOC",
+                             synthetic=args.synthetic or 256,
+                             seed=args.seed)
         image_ds = DeviceResidentDataset({"images": images}, mesh=mesh)
         teacher = make_teacher("deit_base_patch16_224")
         t_vars = jax.jit(teacher.init)(jax.random.key(0),

@@ -39,31 +39,16 @@ IMAGE_CANVAS = 256  # staged source resolution for the on-device crops
 
 
 def load_images(cfg):
-    """ImageNet val as a uint8 [N,canvas,canvas,3] HBM canvas; synthetic
-    fallback. RandomResizedCrop(224)+flip run ON DEVICE inside the scanned
-    step (data.image_augment.device_random_resized_crop_flip), fresh per
-    step — the reference re-crops per epoch via torchvision
-    (train_partseg_lwf.py:125-129); cropping from a 256-canvas instead of
-    original resolution is the documented tunnel-bandwidth deviation."""
-    canvas = int(cfg.get("image_canvas", IMAGE_CANVAS))
-    if cfg.synthetic:
-        rng = np.random.RandomState(int(cfg.seed) + 7)
-        n = max(int(cfg.synthetic), 256)
-        return (rng.rand(n, canvas, canvas, 3) * 255).astype(np.uint8)
-    from PIL import Image
+    """Hydra-config adapter over the shared LwF image contract
+    (train.lwf.load_images); see that docstring for the semantics."""
+    from ..train import lwf
 
-    valdir = os.path.join(cfg.imagenet_data_path, "val")
-    paths = []
-    for root, _, files in os.walk(valdir):
-        paths.extend(os.path.join(root, f) for f in files
-                     if f.lower().endswith((".jpeg", ".jpg", ".png")))
-    rng = np.random.RandomState(int(cfg.seed))
-    rng.shuffle(paths)
-    out = []
-    for p in paths[:20000]:
-        img = Image.open(p).convert("RGB").resize((canvas, canvas))
-        out.append(np.asarray(img, dtype=np.uint8))
-    return np.stack(out)
+    return lwf.load_images(
+        cfg.imagenet_data_path,
+        synthetic=int(cfg.synthetic or 0),
+        seed=int(cfg.seed),
+        canvas=int(cfg.get("image_canvas", IMAGE_CANVAS)),
+    )
 
 
 def main(argv=None):

@@ -34,6 +34,50 @@ def normalize_images(u8_images: jnp.ndarray) -> jnp.ndarray:
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 
+IMAGE_CANVAS = 256  # staged source resolution for the on-device crops
+
+
+def load_images(imagenet_path: str, *, synthetic: int = 0, seed: int = 9,
+                canvas: int = IMAGE_CANVAS, max_images: int = 20000):
+    """ImageNet val as a uint8 [N,canvas,canvas,3] HBM canvas; synthetic
+    fallback when synthetic > 0.
+
+    The explicit LwF image-loading contract shared by BOTH LwF CLIs
+    (train_partseg_lwf hydra surface and train_cls_voxel --lwf argparse
+    surface) — an explicit signature rather than a config object, so the two
+    callers can't drift apart on which keys exist.
+
+    RandomResizedCrop(224)+flip run ON DEVICE inside the scanned step
+    (data.image_augment.device_random_resized_crop_flip), fresh per step —
+    the reference re-crops per epoch via torchvision
+    (/root/reference/train_partseg_lwf.py:125-129); cropping from a
+    `canvas`-sized staging copy instead of original resolution is the
+    documented tunnel-bandwidth deviation.
+    """
+    import numpy as np
+
+    if synthetic:
+        rng = np.random.RandomState(int(seed) + 7)
+        n = max(int(synthetic), 256)
+        return (rng.rand(n, canvas, canvas, 3) * 255).astype(np.uint8)
+    import os
+
+    from PIL import Image
+
+    valdir = os.path.join(imagenet_path, "val")
+    paths = []
+    for root, _, files in os.walk(valdir):
+        paths.extend(os.path.join(root, f) for f in files
+                     if f.lower().endswith((".jpeg", ".jpg", ".png")))
+    rng = np.random.RandomState(int(seed))
+    rng.shuffle(paths)
+    out = []
+    for p in paths[:max_images]:
+        img = Image.open(p).convert("RGB").resize((canvas, canvas))
+        out.append(np.asarray(img, dtype=np.uint8))
+    return np.stack(out)
+
+
 def make_scanned_lwf_train_steps(
     model,
     teacher,

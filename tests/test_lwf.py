@@ -69,6 +69,35 @@ def test_lwf_step_voxel_model(rng):
     )
 
 
+def test_load_images_shared_contract():
+    """train.lwf.load_images is the one image-loading contract both LwF CLIs
+    use (the voxel --lwf CLI used to fake a config object to reuse the hydra
+    loader, and that shim broke once when image_canvas was added)."""
+    from simple3dformer_tpu.train import lwf
+
+    imgs = lwf.load_images("/nonexistent", synthetic=16, seed=9)
+    assert imgs.shape == (256, lwf.IMAGE_CANVAS, lwf.IMAGE_CANVAS, 3)
+    assert imgs.dtype == np.uint8
+    # canvas override flows through (the knob that broke the old shim)
+    small = lwf.load_images("/nonexistent", synthetic=16, seed=9, canvas=64)
+    assert small.shape == (256, 64, 64, 3)
+    # deterministic in the seed
+    np.testing.assert_array_equal(
+        imgs, lwf.load_images("/nonexistent", synthetic=16, seed=9))
+
+    # hydra adapter passes its keys through to the same function
+    class Cfg(dict):
+        synthetic = 8
+        seed = 3
+        imagenet_data_path = "/nonexistent"
+
+    Cfg_inst = Cfg(image_canvas=32)
+    via_cfg = train_partseg_lwf.load_images(Cfg_inst)
+    np.testing.assert_array_equal(
+        via_cfg, lwf.load_images("/nonexistent", synthetic=8, seed=3,
+                                 canvas=32))
+
+
 def test_train_partseg_lwf_cli(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     iou = train_partseg_lwf.main([
