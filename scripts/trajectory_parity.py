@@ -1,0 +1,414 @@
+"""Trajectory-parity harness: does our training loop behave like the reference's?
+
+Per-layer torch oracles (tests/test_vit.py, tests/test_point_oracles.py) prove
+every component matches in isolation. This harness composes them into FULL
+torch mirrors of two models and trains both frameworks side by side —
+identical initial weights (copied from the jax init), identical synthetic
+data, identical batch order, identical Adam(lr) hyperparameters — then
+compares the loss/accuracy trajectories:
+
+  * flagship VoxelViT at a tiny config
+    (mirrors /root/reference/train_cls_voxel.py:234-268 semantics:
+    Adam + CE on voxel occupancy grids)
+  * Hengshuang PointTransformerCls at a tiny config
+    (mirrors /root/reference/train_cls.py:103-157: Adam + CE on point clouds;
+    includes FPS/kNN/BatchNorm set abstraction, the numerically hardest part)
+
+The jax side runs the PRODUCTION path: the same make_scanned_train_steps /
+make_optimizer used by the CLIs, on CPU. The torch side is a hand-written
+mirror using the same math (tanh-GELU like flax nn.gelu; erf-vs-tanh differs
+by <2e-4 relative, tests/test_vit.py tolerance) and torch.optim.Adam, the
+reference's optimizer.
+
+What "tracks" means (f32 training is chaotic — bit-equality over hundreds of
+steps is impossible for two different executors; tolerances are justified in
+BASELINE.md round-3):
+  phase A (exactness): per-step |loss_jax - loss_torch| stays tiny over the
+      first EXACT_STEPS steps — evidence that init transfer, forward, grads,
+      and the Adam update rule are the same computation.
+  phase B (trend): over the full run, windowed mean losses stay within a few
+      percent and final train accuracies agree — evidence the optimization
+      *trajectory* is the same even after FP chaos decorrelates the iterates.
+
+Usage:
+    python scripts/trajectory_parity.py [--steps 300] [--model voxel|hengshuang|both]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import torch  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
+
+from simple3dformer_tpu.data.pipeline import DeviceResidentDataset  # noqa: E402
+from simple3dformer_tpu.models.hengshuang import PointTransformerCls  # noqa: E402
+from simple3dformer_tpu.models.voxel_vit import VoxelViT  # noqa: E402
+from simple3dformer_tpu.nn import vit as vit_mod  # noqa: E402
+from simple3dformer_tpu.nn.voxel_embed import VoxelEmbed  # noqa: E402
+from simple3dformer_tpu.train.loop import (  # noqa: E402
+    create_train_state, make_scanned_train_steps)
+from simple3dformer_tpu.train.optim import make_optimizer  # noqa: E402
+
+V = 16          # voxel grid edge
+N_TRAIN = 256   # synthetic corpus size
+EXACT_STEPS = 40
+
+
+# --------------------------------------------------------------------------
+# synthetic learnable tasks (same constructions as tests/test_learnability.py)
+# --------------------------------------------------------------------------
+
+def make_shape_voxels(n, rng):
+    """3 separable classes: solid sphere, parallel slabs, axis cross."""
+    xs = np.zeros((n, V, V, V), np.uint8)
+    ys = rng.randint(0, 3, size=n).astype(np.int32)
+    g = np.stack(np.meshgrid(*[np.arange(V)] * 3, indexing="ij"), -1)
+    for i, c in enumerate(ys):
+        center = rng.randint(5, 11, size=3)
+        r = rng.randint(3, 6)
+        if c == 0:
+            m = ((g - center) ** 2).sum(-1) <= r ** 2
+        elif c == 1:
+            m = (np.abs(g[..., 0] - center[0]) <= 1) | (
+                np.abs(g[..., 0] - (center[0] + 4) % V) <= 1)
+        else:
+            d = np.abs(g - center)
+            m = ((d[..., 0] <= 1) & (d[..., 1] <= 1)) | \
+                ((d[..., 1] <= 1) & (d[..., 2] <= 1)) | \
+                ((d[..., 0] <= 1) & (d[..., 2] <= 1))
+        xs[i] = m
+    return xs, ys
+
+
+def make_shape_points(n, npoint, rng):
+    """3 classes: sphere surface, cube surface, noisy diagonal line."""
+    xs = np.zeros((n, npoint, 3), np.float32)
+    ys = rng.randint(0, 3, size=n).astype(np.int32)
+    for i, c in enumerate(ys):
+        if c == 0:
+            v = rng.randn(npoint, 3)
+            xs[i] = v / np.linalg.norm(v, axis=1, keepdims=True)
+        elif c == 1:
+            v = rng.uniform(-1, 1, (npoint, 3))
+            ax = rng.randint(0, 3, npoint)
+            v[np.arange(npoint), ax] = np.sign(v[np.arange(npoint), ax])
+            xs[i] = v
+        else:
+            t = rng.uniform(-1, 1, (npoint, 1))
+            xs[i] = t * np.array([1.0, 1.0, 1.0]) + rng.randn(npoint, 3) * 0.02
+    return xs, ys
+
+
+# --------------------------------------------------------------------------
+# jax params -> torch parameter tree (same layout: kernels are [in, out])
+# --------------------------------------------------------------------------
+
+def tree_to_torch(tree):
+    if isinstance(tree, dict):
+        return {k: tree_to_torch(v) for k, v in tree.items()}
+    return torch.nn.Parameter(
+        torch.tensor(np.asarray(tree), dtype=torch.float32))
+
+
+def torch_leaves(tree):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from torch_leaves(v)
+    else:
+        yield tree
+
+
+# --------------------------------------------------------------------------
+# torch mirrors of our flax primitives (identical math, flax layouts)
+# --------------------------------------------------------------------------
+
+def t_dense(p, x):
+    return x @ p["kernel"] + p["bias"]
+
+
+def t_layernorm(p, x, eps=1e-6):
+    mu = x.mean(-1, keepdim=True)
+    var = x.var(-1, unbiased=False, keepdim=True)
+    return (x - mu) / torch.sqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def t_block(p, x, heads):
+    """nn/layers.Block: pre-norm attn + pre-norm tanh-GELU MLP."""
+    B, N, C = x.shape
+    hd = C // heads
+    h = t_layernorm(p["norm1"], x)
+    qkv = t_dense(p["attn"]["qkv"], h).reshape(B, N, 3, heads, hd)
+    q, k, v = qkv.unbind(2)
+    attn = torch.einsum("bnhd,bmhd->bhnm", q * hd ** -0.5, k).softmax(-1)
+    h = torch.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+    x = x + t_dense(p["attn"]["proj"], h)
+    h = t_layernorm(p["norm2"], x)
+    h = F.gelu(t_dense(p["mlp"]["fc1"], h), approximate="tanh")
+    return x + t_dense(p["mlp"]["fc2"], h)
+
+
+def t_patchify3d(x, cell):
+    B, X, Y, Z = x.shape
+    p = X // cell
+    x = x[:, : p * cell, : p * cell, : p * cell]
+    x = x.reshape(B, p, cell, p, cell, p, cell)
+    x = x.permute(0, 1, 3, 5, 2, 4, 6)
+    return x.reshape(B, p, p, p, cell ** 3), p
+
+
+def t_voxel_forward(tree, x, heads, depth, cell):
+    """models/voxel_vit.VoxelViT forward, mode='default'."""
+    patches, _ = t_patchify3d(x, cell)
+    tok = patches @ tree["voxel_embed"]["kernel"] + tree["voxel_embed"]["bias"]
+    tok = tok.mean(3)  # mean over pz
+    B, D = tok.shape[0], tok.shape[-1]
+    tok = tok.reshape(B, -1, D)
+    cls = tree["cls_token"].expand(B, -1, -1)
+    tok = torch.cat([cls, tok], 1) + tree["voxel_pos_embed"]
+    for i in range(depth):
+        tok = t_block(tree["core"][f"blocks_{i}"], tok, heads)
+    tok = t_layernorm(tree["core"]["norm"], tok)
+    return t_dense(tree["voxel_head"], tok[:, 0])
+
+
+# ---- Hengshuang mirror pieces ----
+
+def t_square_distance(src, dst):
+    """ops/pointops.square_distance (exact=False form, clamped)."""
+    s2 = (src * src).sum(-1, keepdim=True)
+    d2 = (dst * dst).sum(-1).unsqueeze(1)
+    cross = torch.einsum("bnc,bmc->bnm", src, dst)
+    return torch.clamp(s2 + d2 - 2.0 * cross, min=0.0)
+
+
+def t_knn(query, points, k):
+    d = t_square_distance(query, points)
+    # ops/pointops.knn_indices clamps k (torch argsort[:k] semantics)
+    return torch.topk(-d, min(k, points.shape[1]), dim=-1).indices
+
+
+def t_index_points(points, idx):
+    B = points.shape[0]
+    bidx = torch.arange(B).view(B, *([1] * (idx.dim() - 1))).expand(idx.shape)
+    return points[bidx, idx]
+
+
+def t_fps_start0(xyz, npoint):
+    """ops/pointops.farthest_point_sample with key=None (start index 0)."""
+    B, N, _ = xyz.shape
+    distance = torch.full((B, N), 1e10)
+    farthest = torch.zeros(B, dtype=torch.long)
+    out = torch.zeros(B, npoint, dtype=torch.long)
+    with torch.no_grad():
+        for i in range(npoint):
+            out[:, i] = farthest
+            centroid = xyz[torch.arange(B), farthest].unsqueeze(1)
+            distance = torch.minimum(
+                distance, ((xyz - centroid) ** 2).sum(-1))
+            farthest = distance.argmax(-1)
+    return out
+
+
+def t_mlp2(p, x):
+    return t_dense(p["fc2"], torch.relu(t_dense(p["fc1"], x)))
+
+
+def t_vector_attention(p, xyz, feats, k, d_model):
+    """nn/vector_attention.VectorAttentionBlock (XLA path)."""
+    idx = t_knn(xyz, xyz, k)
+    knn_xyz = t_index_points(xyz, idx)
+    pre = feats
+    x = t_dense(p["fc1"], feats)
+    q = x @ p["w_qs"]["kernel"]
+    k_all = x @ p["w_ks"]["kernel"]
+    v_all = x @ p["w_vs"]["kernel"]
+    kk = t_index_points(k_all, idx)
+    vv = t_index_points(v_all, idx)
+    pos = t_mlp2(p["fc_delta"], xyz[:, :, None, :] - knn_xyz)
+    attn = t_mlp2(p["fc_gamma"], q[:, :, None, :] - kk + pos)
+    attn = torch.softmax(attn / math.sqrt(d_model), dim=-2)
+    res = (attn * (vv + pos)).sum(2)
+    return t_dense(p["fc2"], res) + pre
+
+
+def t_bn_relu_dense(p, x, eps=1e-5):
+    """nn/set_abstraction.BNReLUDense in training mode (batch statistics)."""
+    h = t_dense(p["conv"], x)
+    ax = tuple(range(h.dim() - 1))
+    mu = h.mean(ax, keepdim=True)
+    var = h.var(ax, unbiased=False, keepdim=True)
+    h = (h - mu) / torch.sqrt(var + eps) * p["bn"]["scale"] + p["bn"]["bias"]
+    return torch.relu(h)
+
+
+def t_transition_down(p, xyz, points, npoint, nneighbor, n_mlp):
+    fps_idx = t_fps_start0(xyz, npoint)
+    new_xyz = t_index_points(xyz, fps_idx)
+    idx = t_knn(new_xyz, xyz, nneighbor)
+    grouped_xyz = t_index_points(xyz, idx)
+    norm = grouped_xyz - new_xyz[:, :, None, :]
+    h = torch.cat([norm, t_index_points(points, idx)], -1)
+    for i in range(n_mlp):
+        h = t_bn_relu_dense(p["sa"][f"mlp_{i}"], h)
+    return new_xyz, h.max(2).values
+
+
+def t_hengshuang_forward(tree, x, nblocks, nneighbor, num_point, d_model):
+    """models/hengshuang.PointTransformerCls forward (training mode)."""
+    bb = tree["backbone"]
+    xyz = x[..., :3]
+    h = torch.relu(t_dense(bb["fc1_1"], x))
+    h = t_dense(bb["fc1_2"], h)
+    points = t_vector_attention(bb["transformer1"], xyz, h, nneighbor, d_model)
+    for i in range(nblocks):
+        xyz, points = t_transition_down(
+            bb[f"transition_downs_{i}"], xyz, points,
+            num_point // 4 ** (i + 1), nneighbor, n_mlp=2)
+        points = t_vector_attention(
+            bb[f"transformers_{i}"], xyz, points, nneighbor, d_model)
+    h = points.mean(1)
+    head = tree["fc2"]
+    h = torch.relu(t_dense(head["fc1"], h))
+    h = torch.relu(t_dense(head["fc2"], h))
+    return t_dense(head["fc3"], h)
+
+
+# --------------------------------------------------------------------------
+# side-by-side training
+# --------------------------------------------------------------------------
+
+def _train_both(model, variables, xs, ys, torch_forward, steps, batch, lr,
+                has_bn=False):
+    """Train the jax production loop and the torch mirror on identical
+    batches from identical weights; return per-step loss/acc for both."""
+    # snapshot the init BEFORE the jax run donates (and frees) its buffers
+    tree = tree_to_torch(variables["params"])
+
+    # ---- jax side: the CLIs' scanned train path ----
+    tx = make_optimizer("Adam")
+    state = create_train_state(variables["params"], tx,
+                               variables.get("batch_stats"))
+    ds = DeviceResidentDataset({"x": xs, "y": ys})
+    run = make_scanned_train_steps(model, tx, ds, has_batch_stats=has_bn)
+    idx = np.random.RandomState(1).randint(0, len(xs), size=(steps, batch))
+    _, metrics = run(state, jnp.asarray(idx), lr, jax.random.key(0))
+    jl = np.asarray(metrics["loss"], np.float64)
+    ja = np.asarray(metrics["accuracy"], np.float64)
+
+    # ---- torch side: reference-style loop (train_cls.py:103-157) ----
+    params = [p for p in torch_leaves(tree)]
+    opt = torch.optim.Adam(params, lr=lr, betas=(0.9, 0.999), eps=1e-8)
+    tx_all = torch.from_numpy(np.asarray(xs, np.float32))
+    ty_all = torch.from_numpy(np.asarray(ys)).long()
+    tl, ta = [], []
+    for s in range(steps):
+        bx, by = tx_all[idx[s]], ty_all[idx[s]]
+        logits = torch_forward(tree, bx)
+        loss = F.cross_entropy(logits, by)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        tl.append(float(loss.detach()))
+        ta.append(float((logits.argmax(-1) == by).float().mean()))
+    return dict(jax_loss=jl, torch_loss=np.array(tl),
+                jax_acc=ja, torch_acc=np.array(ta))
+
+
+def run_voxel(steps=300, batch=16, lr=3e-4, seed=0):
+    """Flagship VoxelViT (mode=default, VoxelEmbed) at a tiny backbone."""
+    torch.manual_seed(0)
+    rng = np.random.RandomState(seed)
+    xs, ys = make_shape_voxels(N_TRAIN, rng)
+    # tiny 3-deep backbone registered just for this harness (the production
+    # BACKBONES are all depth-12; trajectory dynamics don't need 12 layers)
+    vit_mod.BACKBONES.setdefault("traj_tiny", dict(
+        patch_size=16, embed_dim=96, depth=3, num_heads=3, mlp_ratio=4.0,
+        qkv_bias=True))
+    emb = VoxelEmbed(voxel_size=V, cell_size=4, patch_size=4, embed_dim=96)
+    model = VoxelViT(voxel_embed=emb, n_classes=3,
+                     transformer_backbone="traj_tiny")
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, V, V, V)))
+
+    def fwd(tree, bx):
+        return t_voxel_forward(tree, bx, heads=3, depth=3, cell=4)
+
+    return _train_both(model, variables, xs, ys, fwd, steps, batch, lr)
+
+
+def run_hengshuang(steps=300, batch=16, lr=1e-3, seed=0, npoint=64):
+    """Hengshuang cls at the learnability-test tiny config."""
+    torch.manual_seed(0)
+    rng = np.random.RandomState(seed)
+    xs, ys = make_shape_points(N_TRAIN, npoint, rng)
+    model = PointTransformerCls(num_point=npoint, num_class=3, input_dim=3,
+                                nblocks=2, nneighbor=8, transformer_dim=64)
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((2, npoint, 3)))
+
+    def fwd(tree, bx):
+        return t_hengshuang_forward(tree, bx, nblocks=2, nneighbor=8,
+                                    num_point=npoint, d_model=64)
+
+    return _train_both(model, variables, xs, ys, fwd, steps, batch, lr,
+                       has_bn=True)
+
+
+# --------------------------------------------------------------------------
+# reporting
+# --------------------------------------------------------------------------
+
+def summarize(name, r, exact_steps=EXACT_STEPS, window=50):
+    jl, tl = r["jax_loss"], r["torch_loss"]
+    n = len(jl)
+    exact = np.abs(jl[:exact_steps] - tl[:exact_steps])
+    rel = exact / np.maximum(np.abs(tl[:exact_steps]), 1e-9)
+    lines = [f"== {name} ({n} steps) =="]
+    lines.append(f"phase A (first {exact_steps} steps): "
+                 f"max |dloss| = {exact.max():.2e}  max rel = {rel.max():.2e}")
+    lines.append(f"{'step':>6} {'jax_loss':>10} {'torch_loss':>11} {'|d|':>9}")
+    for s in [0, 1, 4, 9, 19, 39, 74, 149, 224, n - 1]:
+        if s < n:
+            lines.append(f"{s:>6} {jl[s]:>10.5f} {tl[s]:>11.5f} "
+                         f"{abs(jl[s] - tl[s]):>9.2e}")
+    stats = {}
+    for lo in range(0, n - window + 1, window):
+        mj = jl[lo:lo + window].mean()
+        mt = tl[lo:lo + window].mean()
+        stats[lo] = (mj, mt)
+        lines.append(f"window [{lo:>4},{lo + window:>4}): mean jax "
+                     f"{mj:.4f}  torch {mt:.4f}  rel gap "
+                     f"{abs(mj - mt) / max(mt, 1e-9):.3%}")
+    fj = r["jax_acc"][-window:].mean()
+    ft = r["torch_acc"][-window:].mean()
+    lines.append(f"final-{window}-step train acc: jax {fj:.3f} torch {ft:.3f}")
+    return "\n".join(lines), dict(exact_max=float(exact.max()),
+                                  exact_rel=float(rel.max()),
+                                  windows=stats, acc=(float(fj), float(ft)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--model", default="both",
+                    choices=["voxel", "hengshuang", "both"])
+    args = ap.parse_args()
+    if args.model in ("voxel", "both"):
+        txt, _ = summarize("flagship VoxelViT (tiny)", run_voxel(args.steps))
+        print(txt)
+    if args.model in ("hengshuang", "both"):
+        txt, _ = summarize("Hengshuang cls (tiny)",
+                           run_hengshuang(args.steps))
+        print(txt)
+
+
+if __name__ == "__main__":
+    main()
