@@ -18,13 +18,20 @@ TFLOP/s.
 
 vs_baseline: BASELINE.md records that the reference repo publishes no
 benchmark numbers; the driver-defined target is >=3x a single PyTorch GPU.
-REF_GPU_SPS derivation (provisional until a CUDA host exists): deit_small at
-26 tokens is ~3.4 GFLOP/sample fwd+bwd; a V100 sustains ~20-25 TFLOP/s mixed
-precision on transformer steps => ~6000-7000 samples/sec of pure compute,
-but the reference pipeline is DataLoader-bound: per-sample binvox decode +
-30^3 float voxelization in Python (reference data/modelnet40.py) measures
-~2-4 ms/sample/worker on a Xeon core => ~300 samples/sec with its default
-4 workers. vs_baseline = value / REF_GPU_SPS.
+REF_GPU_SPS derivation, REVISED round 3 after measuring the reference's own
+input pipeline on this host (scripts/measure_reference_host.py): the round-2
+"DataLoader-bound ~300 samples/sec" figure assumed 2-4 ms/sample binvox
+decode; the measured cost of the reference ModelNet40.__getitem__ is
+0.11 ms/sample (8,900 samples/sec/worker on one core; real models RLE-decode
+faster than the synthetic grids used). Ingest therefore does NOT bind a GPU
+host — the pipeline is compute-bound. Compute anchor: deit_small at 26
+tokens is ~3.4 GFLOP/sample fwd+bwd; the reference trains plain f32 (no AMP
+anywhere in the repo), and a V100's f32 peak is 15.7 TFLOP/s with ~30-50%
+achievable at these small [B*26, 384] GEMMs plus eager-mode launch overhead
+(~240 kernels/step) => ~1,500-2,500 samples/sec. REF_GPU_SPS = 2000 (the
+optimistic end). vs_baseline = value / REF_GPU_SPS; still a *derived*
+number — no CUDA host exists here — but now anchored to a measured decode
+cost instead of a guessed one. Details: BASELINE.md round-3.
 
 Secondary metrics re-measure the two point-cloud workloads the round-1
 verdict flagged (S3DIS semseg, ShapeNetPart seg) by driving the actual CLIs
@@ -49,7 +56,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-REF_GPU_SPS = 300.0  # provisional single-V100 estimate; see module docstring
+REF_GPU_SPS = 2000.0  # V100-f32 compute anchor, revised r3; see docstring
 
 BATCH = 32
 # One dispatch = one scanned multi-step jit call, mirroring the CLIs' whole-

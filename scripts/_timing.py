@@ -79,3 +79,35 @@ def timeit(name, fn, *args, reps=REPS):
     dt = _run(fn, args, reps) - dispatch_floor(reps)
     print(f"{name:56s} {dt:8.2f} ms", flush=True)
     return dt
+
+
+def time_carried(name, step, carry, args, reps=30):
+    """ms/call of carry' = step(carry, args) with the full result tree
+    threaded as the scan carry.
+
+    For whole-tree workloads (optimizer passes) `timeit` is INVALID three
+    ways: it perturbs only the first float leaf (other leaves hoist via
+    LICM), a scalar-reduced return lets XLA dead-code-eliminate sibling
+    leaves, and moment-style outputs that only feed elementwise consumers
+    are never materialized to HBM even when "live". Threading the tree as
+    the carry forces every iteration to read the previous iteration's
+    materialized buffers and write its own — the production scanned-train-
+    step regime. `args` stays loop-invariant (safe only when every output
+    also depends on the carry, as in an optimizer update; a pure function
+    of args alone would still hoist)."""
+    def scanned(c, a):
+        out, _ = jax.lax.scan(lambda cc, _: (step(cc, a), None), c, None,
+                              length=reps)
+        return out
+
+    f = jax.jit(scanned)
+
+    def sync(out):
+        float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+
+    sync(f(carry, args))  # compile + warmup
+    t0 = time.time()
+    sync(f(carry, args))
+    dt = (time.time() - t0) / reps * 1000 - dispatch_floor(reps)
+    print(f"{name:56s} {dt:8.2f} ms", flush=True)
+    return dt

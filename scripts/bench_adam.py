@@ -1,0 +1,233 @@
+"""A/B the flagship Adam pass: optax chain vs fused Pallas vs bf16-nu optax.
+
+VERDICT round-2 weak #5: the optimizer is the measured largest non-matmul
+term of the flagship step (~0.46 ms of 2.1 ms, ~600 MB HBM traffic over
+21.5M f32 params) and round 2 never attacked it.
+
+Measurement protocol notes (three traps BEYOND scripts/_timing's LICM/floor
+handling, found while building this — the round-2 profile's "adam 0.16 ms
+on an 89.5M tree" reading was a victim: 2.5 GB of HBM traffic cannot move
+in 0.16 ms; the computation was dead-code-eliminated):
+  * DCE: a timed fn returning only `leaves[0][0]` lets XLA dead-code-
+    eliminate the update of every other leaf.
+  * per-leaf LICM: _timing perturbs only the FIRST float leaf of args; all
+    other grad leaves stay loop-invariant and their updates hoist out of
+    the timing loop.
+  * fusion-elision: even with all outputs "live" through a scalar reduce,
+    moment arrays that only feed later elementwise ops need never be
+    materialized to HBM — but the real train step materializes them into
+    opt_state every step.
+All three are closed the same way: thread the WHOLE (params, moments) tree
+as the scan carry, exactly like the production scanned train step does —
+every iteration must read the previous iteration's materialized buffers and
+write its own. Grads stay loop-invariant args (safe: every update op also
+depends on the carry).
+
+Candidates:
+  a) production: optax scale_by_adam -> apply_lr -> apply_updates
+  b) kernels/adam.fused_adam_update — single Pallas pass, in-place aliasing
+  c) bf16 second moments: optax-style chain with nu stored bf16
+     (5.5/7 of the HBM traffic; numerics deviation documented)
+
+Then the decision-relevant measurement: the flagship scanned train step
+(bench.py recipe, 250 steps/dispatch, unroll=4, frozen-2D mask) e2e with
+(a) vs (b) via train.loop's opt_update_fn hook — the round-2 attention
+kernels won in isolation and lost e2e, so isolation alone proves nothing.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_adam.py
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
+
+from _timing import time_carried  # noqa: E402
+
+from simple3dformer_tpu.kernels.adam import (fused_adam_pair,  # noqa: E402
+                                             fused_adam_update)
+from simple3dformer_tpu.train.optim import apply_lr  # noqa: E402
+
+tleaves = jax.tree_util.tree_leaves
+tmap = jax.tree_util.tree_map
+
+
+def bf16_nu_adam(b1=0.9, b2=0.999, eps=1e-8):
+    """scale_by_adam with the second moment stored in bfloat16."""
+
+    def init(params):
+        return dict(
+            count=jnp.zeros((), jnp.int32),
+            mu=tmap(jnp.zeros_like, params),
+            nu=tmap(lambda p: jnp.zeros_like(p, dtype=jnp.bfloat16), params),
+        )
+
+    def update(grads, state, params=None):
+        count = state["count"] + 1
+        t = count.astype(jnp.float32)
+        mu = tmap(lambda m, g: b1 * m + (1 - b1) * g, state["mu"], grads)
+        nu = tmap(
+            lambda v, g: (b2 * v.astype(jnp.float32)
+                          + (1 - b2) * g * g).astype(jnp.bfloat16),
+            state["nu"], grads)
+        bc1, bc2 = 1 - b1 ** t, 1 - b2 ** t
+        updates = tmap(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v.astype(jnp.float32) / bc2)
+                                      + eps),
+            mu, nu)
+        return updates, dict(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+def isolation(params, reps=30):
+    rng = np.random.RandomState(9)
+    n = sum(p.size for p in tleaves(params))
+    print(f"flagship param tree: {n / 1e6:.1f}M f32 "
+          f"({n * 4 * 7 / 1e6:.0f} MB of 7-pass HBM traffic; HBM-bound "
+          f"floor at ~800 GB/s ~ {n * 4 * 7 / 800e9 * 1e3:.2f} ms)",
+          flush=True)
+
+    # trees ride as jit ARGS / carries: closure-captured trees bake into
+    # the HLO as constants and 413 the remote compiler. Grads are derived
+    # ON DEVICE in one dispatch — building them host-side costs 159
+    # separate puts through the ~0.5-1 s-latency tunnel (minutes).
+    grads = jax.jit(lambda pp: tmap(lambda p: p * 1e-3 + 1e-5, pp))(params)
+
+    print("grads staged on device", flush=True)
+
+    # (a) production chain
+    tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    opt_state = jax.jit(tx.init)(params)
+    print("opt state initialized", flush=True)
+
+    def prod(carry, g):
+        pp, os = carry
+        updates, os2 = tx.update(g, os, pp)
+        return optax.apply_updates(pp, apply_lr(updates, 1e-3)), os2
+
+    t_a = time_carried("(a) optax scale_by_adam + apply (production)", prod,
+                       (params, opt_state), grads, reps=reps)
+
+    # (b) fused Pallas
+    mu = tmap(jnp.zeros_like, params)
+    nu = tmap(jnp.zeros_like, params)
+
+    def fused(carry, g):
+        pp, m, v, t = carry
+        p2, m2, v2 = fused_adam_update(pp, g, m, v, t, 1e-3)
+        return p2, m2, v2, t + 1
+
+    t_b = time_carried("(b) fused Pallas adam (in-place aliased)", fused,
+                       (params, mu, nu, jnp.ones((), jnp.int32)), grads,
+                       reps=reps)
+
+    # (c) bf16 second moments
+    tx_c = bf16_nu_adam()
+    state_c = jax.jit(tx_c.init)(params)
+
+    def bf16nu(carry, g):
+        pp, sc = carry
+        updates, sc2 = tx_c.update(g, sc, pp)
+        return optax.apply_updates(pp, apply_lr(updates, 1e-3)), sc2
+
+    t_c = time_carried("(c) optax with bf16 nu", bf16nu, (params, state_c),
+                       grads, reps=reps)
+
+    # correctness: fused == optax chain (jitted, so lr rides as a tracer)
+    up, st = jax.jit(tx.update)(grads, opt_state, params)
+    want = optax.apply_updates(params, apply_lr(up, 1e-3))
+    got, _, _ = jax.jit(fused_adam_update)(
+        params, grads, mu, nu, jnp.ones((), jnp.int32), 1e-3)
+    errs = tmap(lambda a, b: float(jnp.max(jnp.abs(a - b))), want, got)
+    print(f"fused-vs-optax max |dp| over tree: "
+          f"{max(tleaves(errs)):.3e}", flush=True)
+    print(f"isolation: a={t_a:.3f} ms  b={t_b:.3f} ms  c={t_c:.3f} ms",
+          flush=True)
+    return t_a, t_b, t_c
+
+
+def e2e(trial_steps=250, measure=2):
+    """Flagship scanned-step samples/sec: production optax vs fused Adam."""
+    from __graft_entry__ import _flagship
+    from simple3dformer_tpu.data.pipeline import DeviceResidentDataset
+    from simple3dformer_tpu.models.voxel_vit import frozen_mask
+    from simple3dformer_tpu.train.loop import (create_train_state,
+                                               make_scanned_train_steps)
+    from simple3dformer_tpu.train.optim import make_optimizer
+
+    rng = np.random.RandomState(9)
+    model = _flagship()
+    variables = jax.jit(model.init)(jax.random.key(9),
+                                    jnp.zeros((2, 30, 30, 30)))
+    params = variables["params"]
+    mask = frozen_mask(params, True)
+    ds = DeviceResidentDataset({
+        "x": (rng.rand(2048, 30, 30, 30) > 0.85).astype(np.uint8),
+        "y": rng.randint(0, 40, size=(2048,)).astype(np.int32),
+    })
+
+    # per-arm param copies are made ON DEVICE (one dispatch): fetching the
+    # tree to host and re-putting it is 636 per-leaf round trips through the
+    # 0.5-1 s-latency tunnel (tens of minutes, looks like a hang)
+    device_copy = jax.jit(lambda p: tmap(lambda x: x + 0.0, p))
+
+    labels = tmap(lambda t: "train" if t else "freeze", mask)
+    arms = {}
+    arms["prod"] = (make_optimizer("Adam", trainable_mask=mask), None)
+    tx_f, upd_f = fused_adam_pair(trainable_mask=mask)
+    arms["fused"] = (tx_f, upd_f)
+    arms["bf16nu"] = (optax.multi_transform(
+        {"train": bf16_nu_adam(), "freeze": optax.set_to_zero()}, labels),
+        None)
+
+    runs, states = {}, {}
+    for name, (tx, upd) in arms.items():
+        runs[name] = make_scanned_train_steps(model, tx, ds, None, unroll=4,
+                                              opt_update_fn=upd)
+        states[name] = create_train_state(device_copy(params), tx)
+        print(f"arm {name}: state staged", flush=True)
+
+    def dispatch(name, idx):
+        st, metrics = runs[name](states[name], idx, 1e-3, jax.random.key(0))
+        float(metrics["loss"][-1])  # true sync (CLAUDE.md)
+        states[name] = st
+
+    # interleaved A/B/C, one compile per arm (trial 0 = warmup, unrecorded):
+    # the chip is shared; single readings of close contenders are noise
+    results = {name: [] for name in arms}
+    for trial in range(1 + 2):
+        for name in arms:
+            idx = jnp.asarray(rng.randint(0, 2048, size=(trial_steps, 32))
+                              .astype(np.int32))
+            t0 = time.time()
+            for _ in range(measure):
+                dispatch(name, idx)
+            dt = time.time() - t0
+            sps = measure * trial_steps * 32 / dt
+            if trial > 0:
+                results[name].append(sps)
+            print(f"e2e [{trial}] {name:8s} {sps:10.1f} samples/sec/chip "
+                  f"({dt / (measure * trial_steps) * 1e3:.3f} ms/step)"
+                  f"{'  (warmup+compile)' if trial == 0 else ''}", flush=True)
+    print("e2e best: " + "  ".join(
+        f"{n}={max(v):.1f}" for n, v in results.items()), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    if "--e2e-only" not in sys.argv:
+        from __graft_entry__ import _flagship
+        model = _flagship()
+        variables = jax.jit(model.init)(jax.random.key(9),
+                                        jnp.zeros((2, 30, 30, 30)))
+        isolation(variables["params"])
+    if "--iso-only" not in sys.argv:
+        e2e()

@@ -151,8 +151,15 @@ def make_scanned_train_steps(
     y_key: str = "y",
     x_dtype=jnp.float32,
     unroll: int = 1,
+    opt_update_fn: Optional[Callable] = None,
 ):
     """Run many train steps per dispatch with an HBM-resident dataset.
+
+    ``opt_update_fn``: optional whole-update hook
+    ``(grads, opt_state, params, lr) -> (new_params, new_opt_state)``
+    replacing the optax ``tx.update`` + ``apply_lr`` + ``apply_updates``
+    chain (the lr scaling included). Used by the fused-Adam experiment
+    (kernels/adam.fused_adam_pair); ``tx`` then only supplies ``init``.
 
     Returns jitted (state, idx [S,B], lr, rng) -> (state, metrics [S]).
     Each scan iteration gathers its batch on device from `dataset`
@@ -204,8 +211,13 @@ def make_scanned_train_steps(
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
             compute_loss, has_aux=True
         )(state.params)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, apply_lr(updates, lr))
+        if opt_update_fn is not None:
+            new_params, new_opt = opt_update_fn(
+                grads, state.opt_state, state.params, lr)
+        else:
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params,
+                                             apply_lr(updates, lr))
         acc = jnp.mean((jnp.argmax(logits, axis=-1) == y).astype(jnp.float32))
         return (
             state.replace(

@@ -244,3 +244,76 @@ def test_fused_block_declines_vmem_hostile_shapes(rng, monkeypatch):
     params = blk.init(jax.random.key(0), x)
     out = blk.apply(params, x)  # must not route to the kernel (no crash)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fused_adam_matches_optax(rng):
+    """kernels/adam.fused_adam_update == optax scale_by_adam + apply_lr +
+    apply_updates, elementwise, over two chained steps (bias correction
+    depends on the step count)."""
+    import optax
+
+    from simple3dformer_tpu.kernels.adam import fused_adam_update
+    from simple3dformer_tpu.train.optim import apply_lr
+
+    params = {
+        "big": jnp.asarray(rng.randn(700, 128).astype(np.float32)),
+        "nested": {"w": jnp.asarray(rng.randn(513, 130).astype(np.float32)),
+                   "b": jnp.asarray(rng.randn(7).astype(np.float32))},
+    }
+    tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    state = tx.init(params)
+    mu = jax.tree_util.tree_map(jnp.zeros_like, params)
+    nu = jax.tree_util.tree_map(jnp.zeros_like, params)
+    p_ref, p_fused = params, params
+    for step in (1, 2):
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(
+                rng.randn(*p.shape).astype(np.float32)) * 1e-2, p_ref)
+        updates, state = tx.update(grads, state, p_ref)
+        p_ref = optax.apply_updates(p_ref, apply_lr(updates, 1e-3))
+        p_fused, mu, nu = fused_adam_update(
+            p_fused, grads, mu, nu, jnp.asarray(step, jnp.int32), 1e-3,
+            interpret=True)
+        for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                        jax.tree_util.tree_leaves(p_fused)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+
+def test_fused_adam_pair_matches_masked_optax(rng):
+    """fused_adam_pair's opt_update_fn (the train-loop hook) == the
+    production multi_transform(Adam/set_to_zero) + apply chain, with frozen
+    leaves byte-identical and carrying zero-size state."""
+    import optax
+
+    from simple3dformer_tpu.kernels.adam import fused_adam_pair
+    from simple3dformer_tpu.train.optim import apply_lr, make_optimizer
+
+    params = {
+        "backbone": {"w": jnp.asarray(rng.randn(600, 140).astype(np.float32))},
+        "head": {"w": jnp.asarray(rng.randn(520, 133).astype(np.float32)),
+                 "b": jnp.asarray(rng.randn(5).astype(np.float32))},
+    }
+    mask = {"backbone": {"w": False}, "head": {"w": True, "b": True}}
+
+    tx_ref = make_optimizer("Adam", trainable_mask=mask)
+    st_ref = tx_ref.init(params)
+    tx_f, update_fn = fused_adam_pair(trainable_mask=mask, interpret=True)
+    st_f = tx_f.init(params)
+    assert st_f["mu"]["backbone"]["w"].size == 0  # frozen leaf: no state
+
+    p_ref, p_f = params, params
+    for step in range(2):
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(
+                rng.randn(*p.shape).astype(np.float32)) * 1e-2, p_ref)
+        updates, st_ref = tx_ref.update(grads, st_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, apply_lr(updates, 3e-3))
+        p_f, st_f = update_fn(grads, st_f, p_f, 3e-3)
+        np.testing.assert_array_equal(  # frozen leaf untouched
+            np.asarray(p_f["backbone"]["w"]),
+            np.asarray(params["backbone"]["w"]))
+        for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                        jax.tree_util.tree_leaves(p_f)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
