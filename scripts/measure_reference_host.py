@@ -137,19 +137,27 @@ def main():
     ncores = os.cpu_count()
     print(f"host cores: {ncores}")
     ref = load_reference_modelnet40()
+    cwd = os.getcwd()
     with tempfile.TemporaryDirectory() as root:
         idx2cls = build_tree(root)
-        os.chdir("/root/reference")  # the module's relative sys.path hacks
-        ds = ref.ModelNet40(root, len(idx2cls), idx2cls, split="train")
-        per = measure_getitem(ds)
-        print(f"reference ModelNet40.__getitem__ (binvox decode): "
-              f"{per * 1e3:.2f} ms/sample -> {1 / per:.0f} samples/sec/worker")
-        rate1 = measure_dataloader(ds, workers=0)
-        print(f"reference DataLoader rate, num_workers=0 (in-process): "
-              f"{rate1:.0f} samples/sec")
-        rate10 = measure_dataloader(ds, workers=min(10, ncores))
-        print(f"reference DataLoader rate, num_workers="
-              f"{min(10, ncores)} (reference uses 10): {rate10:.0f} samples/sec")
+        try:
+            # the module's relative sys.path hacks need this cwd; restore
+            # after so later sections can't write into the read-only tree
+            os.chdir("/root/reference")
+            ds = ref.ModelNet40(root, len(idx2cls), idx2cls, split="train")
+            per = measure_getitem(ds)
+            print(f"reference ModelNet40.__getitem__ (binvox decode): "
+                  f"{per * 1e3:.2f} ms/sample -> "
+                  f"{1 / per:.0f} samples/sec/worker")
+            rate1 = measure_dataloader(ds, workers=0)
+            print(f"reference DataLoader rate, num_workers=0 (in-process): "
+                  f"{rate1:.0f} samples/sec")
+            rate10 = measure_dataloader(ds, workers=min(10, ncores))
+            print(f"reference DataLoader rate, num_workers="
+                  f"{min(10, ncores)} (reference uses 10): "
+                  f"{rate10:.0f} samples/sec")
+        finally:
+            os.chdir(cwd)
     step = measure_torch_step()
     print(f"torch-CPU flagship step (deit_small mirror, batch 32): "
           f"{step * 1e3:.1f} ms -> {32 / step:.1f} samples/sec")

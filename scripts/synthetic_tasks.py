@@ -1,0 +1,54 @@
+"""Synthetic learnable 3D tasks shared by the learnability tests and the
+trajectory-parity harness.
+
+Single source: tests/test_learnability.py and scripts/trajectory_parity.py
+both train on these constructions and compare results across frameworks —
+if the task definitions drifted apart, a parity divergence would read as a
+framework bug instead of a data mismatch.
+"""
+
+import numpy as np
+
+V = 16  # voxel grid edge
+
+
+def make_shape_voxels(n, rng):
+    """3 separable classes: solid sphere, parallel x-slabs, axis cross."""
+    xs = np.zeros((n, V, V, V), np.uint8)
+    ys = rng.randint(0, 3, size=n).astype(np.int32)
+    g = np.stack(np.meshgrid(*[np.arange(V)] * 3, indexing="ij"), -1)
+    for i, c in enumerate(ys):
+        center = rng.randint(5, 11, size=3)
+        r = rng.randint(3, 6)
+        if c == 0:  # sphere
+            m = ((g - center) ** 2).sum(-1) <= r ** 2
+        elif c == 1:  # two parallel x-slabs
+            m = (np.abs(g[..., 0] - center[0]) <= 1) | (
+                np.abs(g[..., 0] - (center[0] + 4) % V) <= 1
+            )
+        else:  # cross of three bars
+            d = np.abs(g - center)
+            m = ((d[..., 0] <= 1) & (d[..., 1] <= 1)) | \
+                ((d[..., 1] <= 1) & (d[..., 2] <= 1)) | \
+                ((d[..., 0] <= 1) & (d[..., 2] <= 1))
+        xs[i] = m
+    return xs, ys
+
+
+def make_shape_points(n, npoint, rng):
+    """3 classes of point clouds: sphere surface, cube surface, noisy line."""
+    xs = np.zeros((n, npoint, 3), np.float32)
+    ys = rng.randint(0, 3, size=n).astype(np.int32)
+    for i, c in enumerate(ys):
+        if c == 0:
+            v = rng.randn(npoint, 3)
+            xs[i] = v / np.linalg.norm(v, axis=1, keepdims=True)
+        elif c == 1:
+            v = rng.uniform(-1, 1, (npoint, 3))
+            ax = rng.randint(0, 3, npoint)
+            v[np.arange(npoint), ax] = np.sign(v[np.arange(npoint), ax])
+            xs[i] = v
+        else:
+            t = rng.uniform(-1, 1, (npoint, 1))
+            xs[i] = t * np.array([1.0, 1.0, 1.0]) + rng.randn(npoint, 3) * 0.02
+    return xs, ys

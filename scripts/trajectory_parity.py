@@ -58,54 +58,17 @@ from simple3dformer_tpu.train.loop import (  # noqa: E402
     create_train_state, make_scanned_train_steps)
 from simple3dformer_tpu.train.optim import make_optimizer  # noqa: E402
 
-V = 16          # voxel grid edge
 N_TRAIN = 256   # synthetic corpus size
 EXACT_STEPS = 40
 
+# synthetic learnable tasks — single source shared with
+# tests/test_learnability.py (a drifted task definition would read as a
+# framework parity bug)
+import pathlib  # noqa: E402
+import sys  # noqa: E402
 
-# --------------------------------------------------------------------------
-# synthetic learnable tasks (same constructions as tests/test_learnability.py)
-# --------------------------------------------------------------------------
-
-def make_shape_voxels(n, rng):
-    """3 separable classes: solid sphere, parallel slabs, axis cross."""
-    xs = np.zeros((n, V, V, V), np.uint8)
-    ys = rng.randint(0, 3, size=n).astype(np.int32)
-    g = np.stack(np.meshgrid(*[np.arange(V)] * 3, indexing="ij"), -1)
-    for i, c in enumerate(ys):
-        center = rng.randint(5, 11, size=3)
-        r = rng.randint(3, 6)
-        if c == 0:
-            m = ((g - center) ** 2).sum(-1) <= r ** 2
-        elif c == 1:
-            m = (np.abs(g[..., 0] - center[0]) <= 1) | (
-                np.abs(g[..., 0] - (center[0] + 4) % V) <= 1)
-        else:
-            d = np.abs(g - center)
-            m = ((d[..., 0] <= 1) & (d[..., 1] <= 1)) | \
-                ((d[..., 1] <= 1) & (d[..., 2] <= 1)) | \
-                ((d[..., 0] <= 1) & (d[..., 2] <= 1))
-        xs[i] = m
-    return xs, ys
-
-
-def make_shape_points(n, npoint, rng):
-    """3 classes: sphere surface, cube surface, noisy diagonal line."""
-    xs = np.zeros((n, npoint, 3), np.float32)
-    ys = rng.randint(0, 3, size=n).astype(np.int32)
-    for i, c in enumerate(ys):
-        if c == 0:
-            v = rng.randn(npoint, 3)
-            xs[i] = v / np.linalg.norm(v, axis=1, keepdims=True)
-        elif c == 1:
-            v = rng.uniform(-1, 1, (npoint, 3))
-            ax = rng.randint(0, 3, npoint)
-            v[np.arange(npoint), ax] = np.sign(v[np.arange(npoint), ax])
-            xs[i] = v
-        else:
-            t = rng.uniform(-1, 1, (npoint, 1))
-            xs[i] = t * np.array([1.0, 1.0, 1.0]) + rng.randn(npoint, 3) * 0.02
-    return xs, ys
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+from synthetic_tasks import V, make_shape_points, make_shape_voxels  # noqa: E402,F401
 
 
 # --------------------------------------------------------------------------
@@ -329,10 +292,17 @@ def run_voxel(steps=300, batch=16, lr=3e-4, seed=0):
     rng = np.random.RandomState(seed)
     xs, ys = make_shape_voxels(N_TRAIN, rng)
     # tiny 3-deep backbone registered just for this harness (the production
-    # BACKBONES are all depth-12; trajectory dynamics don't need 12 layers)
-    vit_mod.BACKBONES.setdefault("traj_tiny", dict(
-        patch_size=16, embed_dim=96, depth=3, num_heads=3, mlp_ratio=4.0,
-        qkv_bias=True))
+    # BACKBONES are all depth-12; trajectory dynamics don't need 12 layers).
+    # Overwrite-with-conflict-check rather than setdefault: a foreign
+    # 'traj_tiny' left by another caller would silently build the wrong
+    # model while the torch mirror still assumes depth=3/heads=3.
+    _tiny = dict(patch_size=16, embed_dim=96, depth=3, num_heads=3,
+                 mlp_ratio=4.0, qkv_bias=True)
+    existing = vit_mod.BACKBONES.get("traj_tiny")
+    if existing is not None and existing != _tiny:
+        raise RuntimeError(f"BACKBONES['traj_tiny'] already registered with "
+                           f"a different config: {existing}")
+    vit_mod.BACKBONES["traj_tiny"] = _tiny
     emb = VoxelEmbed(voxel_size=V, cell_size=4, patch_size=4, embed_dim=96)
     model = VoxelViT(voxel_embed=emb, n_classes=3,
                      transformer_backbone="traj_tiny")

@@ -35,19 +35,18 @@ from .train_partseg import load_arrays, make_prepare_fn, NUM_PART
 from . import _common as C
 
 
-IMAGE_CANVAS = 256  # staged source resolution for the on-device crops
-
-
 def load_images(cfg):
     """Hydra-config adapter over the shared LwF image contract
-    (train.lwf.load_images); see that docstring for the semantics."""
+    (train.lwf.load_images); see that docstring for the semantics. The
+    canvas default comes from train.lwf.IMAGE_CANVAS — the single source —
+    so the two LwF CLIs cannot drift."""
     from ..train import lwf
 
     return lwf.load_images(
         cfg.imagenet_data_path,
         synthetic=int(cfg.synthetic or 0),
         seed=int(cfg.seed),
-        canvas=int(cfg.get("image_canvas", IMAGE_CANVAS)),
+        canvas=int(cfg.get("image_canvas", lwf.IMAGE_CANVAS)),
     )
 
 

@@ -102,7 +102,10 @@ def fused_adam_update(params, grads, mu, nu, count, lr,
     count = count.astype(jnp.int32)
     new_p, new_m, new_v = [], [], []
     for p, g, m, v in zip(leaves, gl, ml, nl):
-        if p.size >= _TILE_ROWS * _LANES:
+        # dtype guard: _fused_adam_flat hardcodes f32 tiles and aliases
+        # inputs to f32 outputs; non-f32 leaves take the jnp path (where
+        # the arithmetic follows the leaf's own dtype promotion)
+        if p.size >= _TILE_ROWS * _LANES and p.dtype == jnp.float32:
             po, mo, vo = _fused_adam_flat(p, m, v, g, count, lr, b1, b2,
                                           eps, interpret)
         else:

@@ -205,8 +205,13 @@ class DropPath(nn.Module):
 # INSIDE the scanned train step the fused path measures net-NEGATIVE
 # (12.7k vs 13.9k samples/sec e2e at unroll=4: the ~150 MB of per-step
 # fwd->bwd residuals interact badly with XLA's while-loop buffer
-# assignment). XLA compiles this tiny-sequence core well; the kernel ships
-# opt-in, fully tested, for shapes/backends where the balance differs.
+# assignment). Round-3 second data point at the opposite shape extreme
+# (group_embed stage-1: 3,136 seqs x 15 tokens): isolation f/b 175 vs
+# 226 ms (-23%, bit-exact) yet the FULL train step is parity for BOTH
+# backward variants — the pallas_call boundary forfeits XLA's cross-
+# component fusion/overlap (BASELINE.md round-3). XLA compiles this
+# tiny-sequence core well; the kernel ships opt-in, fully tested, for
+# shapes/backends where the balance differs.
 USE_FUSED_BLOCK: bool | None = None
 _FUSED_TILE = 104
 

@@ -50,23 +50,72 @@ def epoch_lr(
     return lr
 
 
+def scale_by_adam_bf16_nu(b1: float = 0.9, b2: float = 0.999,
+                          eps: float = 1e-8) -> optax.GradientTransformation:
+    """scale_by_adam with the second moment stored in bfloat16.
+
+    The Adam pass is HBM-traffic-bound (read p/m/v/g + write p/m/v); nu at
+    half width removes 1.5/7 of that traffic, measured 1.14 vs 1.40 ms
+    isolation and +3.5% flagship e2e (BASELINE.md round-3). Numerics: nu is
+    quantized to ~8 significant bits each step (accumulation itself is f32);
+    update directions deviate from f32 Adam in the ~3rd decimal digit.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    tmap = jax.tree_util.tree_map
+
+    def init(params):
+        return dict(
+            count=jnp.zeros((), jnp.int32),
+            mu=tmap(jnp.zeros_like, params),
+            nu=tmap(lambda p: jnp.zeros_like(p, dtype=jnp.bfloat16), params),
+        )
+
+    def update(grads, state, params=None):
+        del params
+        count = state["count"] + 1
+        t = count.astype(jnp.float32)
+        mu = tmap(lambda m, g: b1 * m + (1 - b1) * g, state["mu"], grads)
+        nu = tmap(
+            lambda v, g: (b2 * v.astype(jnp.float32)
+                          + (1 - b2) * g * g).astype(jnp.bfloat16),
+            state["nu"], grads)
+        bc1, bc2 = 1 - b1 ** t, 1 - b2 ** t
+        updates = tmap(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v.astype(jnp.float32) / bc2)
+                                      + eps),
+            mu, nu)
+        return updates, dict(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     optimizer: str = "Adam",
     weight_decay: float = 0.0,
     momentum: float = 0.9,
     trainable_mask=None,
+    bf16_nu: bool = False,
 ) -> optax.GradientTransformation:
     """Direction-only transformation; the train step multiplies by -lr.
 
     ``trainable_mask``: pytree of bools matching params (True = trainable);
     False leaves receive exactly zero updates and carry no optimizer state.
+
+    ``bf16_nu``: store Adam's second moment in bfloat16. Measured +3.5%
+    e2e on the flagship (the optimizer pass is HBM-bound: nu at half width
+    is 5.5/7 of the traffic; BASELINE.md round-3 optimizer section). OFF by
+    default — the framework's contract is reference-exact optimizer
+    numerics (torch.optim.Adam keeps f32 state); opt in for throughput.
     """
     name = optimizer.lower()
     if name == "adam":
         parts = []
         if weight_decay:
             parts.append(optax.add_decayed_weights(weight_decay))
-        parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+        parts.append(scale_by_adam_bf16_nu() if bf16_nu
+                     else optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
         tx = optax.chain(*parts)
     elif name == "sgd":
         parts = []

@@ -22,49 +22,21 @@ from simple3dformer_tpu.train.loop import (
 )
 from simple3dformer_tpu.train.optim import make_optimizer
 
-V = 16  # voxel grid
+# synthetic tasks live in scripts/synthetic_tasks.py — single source shared
+# with the trajectory-parity harness (drifted task definitions would read as
+# framework parity bugs)
+import importlib.util as _ilu  # noqa: E402
+import pathlib as _pathlib  # noqa: E402
 
-
-def make_shape_voxels(n, rng):
-    """3 visually distinct classes: solid sphere, vertical slabs, cross."""
-    xs = np.zeros((n, V, V, V), np.uint8)
-    ys = rng.randint(0, 3, size=n).astype(np.int32)
-    g = np.stack(np.meshgrid(*[np.arange(V)] * 3, indexing="ij"), -1)
-    for i, c in enumerate(ys):
-        center = rng.randint(5, 11, size=3)
-        r = rng.randint(3, 6)
-        if c == 0:  # sphere
-            m = ((g - center) ** 2).sum(-1) <= r ** 2
-        elif c == 1:  # two parallel x-slabs
-            m = (np.abs(g[..., 0] - center[0]) <= 1) | (
-                np.abs(g[..., 0] - (center[0] + 4) % V) <= 1
-            )
-        else:  # cross of three bars
-            d = np.abs(g - center)
-            m = ((d[..., 0] <= 1) & (d[..., 1] <= 1)) | \
-                ((d[..., 1] <= 1) & (d[..., 2] <= 1)) | \
-                ((d[..., 0] <= 1) & (d[..., 2] <= 1))
-        xs[i] = m
-    return xs, ys
-
-
-def make_shape_points(n, npoint, rng):
-    """3 classes of point clouds: sphere surface, cube surface, line."""
-    xs = np.zeros((n, npoint, 3), np.float32)
-    ys = rng.randint(0, 3, size=n).astype(np.int32)
-    for i, c in enumerate(ys):
-        if c == 0:
-            v = rng.randn(npoint, 3)
-            xs[i] = v / np.linalg.norm(v, axis=1, keepdims=True)
-        elif c == 1:
-            v = rng.uniform(-1, 1, (npoint, 3))
-            ax = rng.randint(0, 3, npoint)
-            v[np.arange(npoint), ax] = np.sign(v[np.arange(npoint), ax])
-            xs[i] = v
-        else:
-            t = rng.uniform(-1, 1, (npoint, 1))
-            xs[i] = t * np.array([1.0, 1.0, 1.0]) + rng.randn(npoint, 3) * 0.02
-    return xs, ys
+_spec = _ilu.spec_from_file_location(
+    "synthetic_tasks",
+    _pathlib.Path(__file__).resolve().parent.parent / "scripts"
+    / "synthetic_tasks.py")
+_tasks = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_tasks)
+V = _tasks.V
+make_shape_voxels = _tasks.make_shape_voxels
+make_shape_points = _tasks.make_shape_points
 
 
 def _train_and_eval(model, variables, ds, test_ds, te_y, epochs, batch, lr,

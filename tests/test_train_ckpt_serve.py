@@ -91,3 +91,35 @@ def test_batch_point_cloud_loader(rng):
     assert loader.num_batches() == 3
     loader.reset()
     assert loader.has_next_batch()
+
+
+def test_bf16_nu_adam_tracks_f32_adam(rng):
+    """make_optimizer(bf16_nu=True): nu stored bfloat16, updates track f32
+    Adam within the bf16 quantization envelope over chained steps."""
+    import optax
+
+    from simple3dformer_tpu.train.optim import apply_lr
+
+    params = {"w": jnp.asarray(rng.randn(64, 32).astype(np.float32)),
+              "b": jnp.asarray(rng.randn(32).astype(np.float32))}
+    tx32 = make_optimizer("Adam")
+    tx16 = make_optimizer("Adam", bf16_nu=True)
+    s32, s16 = tx32.init(params), tx16.init(params)
+    assert s16[0]["nu"]["w"].dtype == jnp.bfloat16  # chain state tuple
+    assert s16[0]["mu"]["w"].dtype == jnp.float32  # first moment stays f32
+
+    p32, p16 = params, params
+    for _ in range(5):
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.randn(*p.shape).astype(np.float32))
+            * 1e-2, p32)
+        u32, s32 = tx32.update(grads, s32, p32)
+        p32 = optax.apply_updates(p32, apply_lr(u32, 1e-3))
+        u16, s16 = tx16.update(grads, s16, p16)
+        p16 = optax.apply_updates(p16, apply_lr(u16, 1e-3))
+    for a, b in zip(jax.tree_util.tree_leaves(p32),
+                    jax.tree_util.tree_leaves(p16)):
+        # nu carries ~8 significant bits -> sqrt halves the relative error;
+        # updates deviate in the ~3rd digit, params (lr-scaled) far less
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
