@@ -96,30 +96,26 @@ def load_voxel_arrays(args):
         )
         return tr_x, tr_y, te_x, te_y, n_classes, voxel_size, None
 
-    def stack(ds, indices=None):
-        indices = range(len(ds)) if indices is None else indices
-        xs, ys = [], []
-        for i in indices:
-            s = ds[int(i)]
-            xs.append(s["voxel"].astype(np.uint8))
-            ys.append(s["cls_idx"])
-        return np.stack(xs), np.asarray(ys, np.int32)
-
+    # Bulk decode via the native multithreaded ingest library (numpy
+    # fallback inside): dataset.materialize is equivalent to looping
+    # ds[i]["voxel"] but turns the ShapeNetV2-scale startup decode from
+    # minutes (single-threaded Python) into seconds — see
+    # data/native_ingest and BASELINE.md round-3 ingest section.
     weights = None
     if args.dataset == "ShapeNetV2":
         ds = datasets.ShapeNetV2VoxelDataset(args.data_root, idx2cls)
         tr_idx, te_idx = ds.split_train_test(0.8, seed=args.seed)
         if args.reweighted:
             weights = ds.class_weight()
-        tr_x, tr_y = stack(ds, tr_idx)
-        te_x, te_y = stack(ds, te_idx)
+        tr_x, tr_y = ds.materialize(tr_idx)
+        te_x, te_y = ds.materialize(te_idx)
     else:
         tr = datasets.ModelNetVoxelDataset(args.data_root, idx2cls, "train")
         te = datasets.ModelNetVoxelDataset(args.data_root, idx2cls, "test")
         if args.reweighted:
             weights = tr.class_weight()
-        tr_x, tr_y = stack(tr)
-        te_x, te_y = stack(te)
+        tr_x, tr_y = tr.materialize()
+        te_x, te_y = te.materialize()
     return tr_x, tr_y, te_x, te_y, n_classes, voxel_size, weights
 
 

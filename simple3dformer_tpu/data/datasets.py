@@ -31,6 +31,21 @@ from . import binvox
 from .classmaps import CLASSES_ModelNet40, name2idx
 
 
+def _materialize_binvox(samples, labels, indices=None, threads=None):
+    """Shared bulk-decode: select ``indices`` of (samples, labels) and decode
+    the files through data/native_ingest (numpy fallback inside)."""
+    from . import native_ingest
+
+    if indices is None:
+        paths, y = samples, labels
+    else:
+        idx = np.asarray(list(map(int, indices)))
+        paths = [samples[i] for i in idx]
+        y = labels[idx]
+    x = native_ingest.materialize(paths, threads=threads)
+    return x, np.asarray(y, np.int32)
+
+
 def _pc_normalize_np(pc: np.ndarray) -> np.ndarray:
     centroid = np.mean(pc, axis=0)
     pc = pc - centroid
@@ -71,6 +86,21 @@ class ModelNetVoxelDataset:
         freq = np.bincount(labels, minlength=len(self.cls2idx))
         w = 1.0 / np.log1p(1.0 + freq)
         return (len(w) * w / w.sum()).astype(np.float32)
+
+    def labels(self) -> np.ndarray:
+        return np.asarray(
+            [self.cls2idx[re.split(r"_\d+\.binvox", os.path.basename(p))[0]]
+             for p in self.samples], np.int32)
+
+    def materialize(self, indices=None, threads=None):
+        """Bulk-decode (a subset of) the split into ``(x uint8, y int32)``.
+
+        Equivalent to looping ``self[i]`` and stacking, but the decode runs
+        through the multithreaded native ingest library
+        (data/native_ingest) when available — this is the startup path the
+        CLIs use before staging the arrays to HBM."""
+        return _materialize_binvox(self.samples, self.labels(), indices,
+                                   threads)
 
 
 class ModelNetVoxelContrastive(ModelNetVoxelDataset):
@@ -135,6 +165,17 @@ class ShapeNetV2VoxelDataset:
         freq = np.bincount(labels, minlength=len(self.cls2idx))
         w = 1.0 / np.log1p(1.0 + freq)
         return (len(w) * w / w.sum()).astype(np.float32)
+
+    def labels(self) -> np.ndarray:
+        return np.asarray(
+            [self.cls2idx[p.split(os.sep)[-4]] for p in self.samples],
+            np.int32)
+
+    def materialize(self, indices=None, threads=None):
+        """Bulk-decode into ``(x uint8, y int32)`` via native ingest; see
+        ModelNetVoxelDataset.materialize."""
+        return _materialize_binvox(self.samples, self.labels(), indices,
+                                   threads)
 
     def split_train_test(self, frac: float = 0.8, seed: int = 9):
         """80/20 random split done by the caller in the reference

@@ -82,3 +82,33 @@ def test_train_cls_voxel_cli_lwf(tmp_path):
         "--lr", "1e-3", "--lwf", "--outf", str(tmp_path),
     ])
     assert 0.0 <= acc <= 1.0
+
+
+def test_train_cls_voxel_cli_real_tree(tmp_path):
+    """The non-synthetic branch: a real on-disk ModelNet binvox tree loaded
+    through dataset.materialize (native bulk ingest with numpy fallback)."""
+    import os
+
+    import numpy as np
+
+    from simple3dformer_tpu.data import binvox
+
+    rng = np.random.RandomState(0)
+    root = tmp_path / "mn10"
+    for cls_name, n_tr, n_te in [("bathtub", 10, 4), ("chair", 10, 4)]:
+        for split, n in (("train", n_tr), ("test", n_te)):
+            d = root / cls_name / split
+            os.makedirs(d)
+            for i in range(n):
+                v = binvox.Voxels(rng.rand(30, 30, 30) > 0.8, [30] * 3,
+                                  [0.0] * 3, 1.0, "xyz")
+                with open(d / f"{cls_name}_{i:04d}.binvox", "wb") as f:
+                    binvox.write(v, f)
+    acc = train_cls_voxel.main([
+        "--dataset", "ModelNet10", "--data-root", str(root),
+        "--batchSize", "4", "--epochs", "1", "--reweighted",
+        "--transformer-name", "deit_tiny_patch16_224",
+        "--embed-layer", "VoxelEmbed", "--cell-size", "6", "--patch-size", "5",
+        "--lr", "1e-3", "--outf", str(tmp_path / "out"),
+    ])
+    assert 0.0 <= acc <= 1.0
