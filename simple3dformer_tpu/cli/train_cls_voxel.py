@@ -74,6 +74,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
     p.add_argument("--dtype", type=str, default="f32", choices=["f32", "bf16"],
                    help="compute dtype (params stay f32)")
+    p.add_argument("--zero1", action="store_true",
+                   help="shard Adam moments over the data axis (ZeRO-1, "
+                        "parallel/zero.py); params stay replicated")
     return p
 
 
@@ -166,9 +169,21 @@ def main(argv=None):
         "Adam", trainable_mask=frozen_mask(params, args.pretrained)
     )
     state = create_train_state(params, tx)
-    state = jax.device_put(state, rules.params)
+    state_sh = None
+    if args.zero1:
+        from ..parallel.zero import sharded_fraction, zero1_state_shardings
+
+        state_sh = zero1_state_shardings(state, mesh)
+        state = jax.device_put(state, state_sh)
+        print(f"ZeRO-1: {sharded_fraction(state):.0%} of optimizer-state "
+              f"bytes sharded over 'data' ({mesh.shape['data']} ways)")
+    else:
+        state = jax.device_put(state, rules.params)
 
     cw = jnp.asarray(weights) if weights is not None else None
+    if args.lwf and args.zero1:
+        raise SystemExit("--zero1 is not supported with --lwf (the LwF scan "
+                         "builder keeps replicated optimizer state)")
     if args.lwf:
         # LwF branch (/root/reference/train_cls_voxel.py:238-268): frozen DeiT
         # teacher + ImageNet-val images zipped with the voxel batches.
@@ -199,7 +214,8 @@ def main(argv=None):
 
     else:
         train_run = make_scanned_train_steps(
-            model, tx, train_ds, rules, class_weights=cw
+            model, tx, train_ds, rules, class_weights=cw,
+            state_shardings=state_sh,
         )
     eval_run = make_scanned_eval(model, test_ds, rules)
 

@@ -71,11 +71,16 @@ def make_train_step(
     has_batch_stats: bool = False,
     method=None,
     donate: bool = True,
+    state_shardings=None,
 ):
     """Build a jitted (state, batch, lr, rng) -> (state, metrics) step.
 
     ``batch`` is a dict with 'x' (inputs) and 'y' (integer labels). The model
     is called in train mode (deterministic=False) with a per-step dropout rng.
+
+    ``state_shardings``: optional TrainState-shaped pytree of NamedShardings
+    overriding ``rules.params`` for the state operand/result (ZeRO-1
+    optimizer-state sharding, parallel/zero.py).
     """
 
     def step(state: TrainState, batch, lr, rng):
@@ -127,12 +132,12 @@ def make_train_step(
     if rules is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
-    state_sh = rules.params
+    state_sh = state_shardings if state_shardings is not None else rules.params
     batch_sh = rules.batch  # leading-dim sharding broadcast over the dict
     return jax.jit(
         step,
         in_shardings=(state_sh, batch_sh, None, None),
-        out_shardings=(state_sh, state_sh),
+        out_shardings=(state_sh, rules.params),
         donate_argnums=(0,) if donate else (),
     )
 
@@ -152,8 +157,14 @@ def make_scanned_train_steps(
     x_dtype=jnp.float32,
     unroll: int = 1,
     opt_update_fn: Optional[Callable] = None,
+    state_shardings=None,
 ):
     """Run many train steps per dispatch with an HBM-resident dataset.
+
+    ``state_shardings``: optional TrainState-shaped pytree of NamedShardings
+    replacing ``rules.params`` for the state operand/result — the ZeRO-1
+    path (parallel/zero.zero1_state_shardings) shards the optimizer-state
+    subtree over the data axis while params stay replicated.
 
     ``opt_update_fn``: optional whole-update hook
     ``(grads, opt_state, params, lr) -> (new_params, new_opt_state)``
@@ -239,10 +250,12 @@ def make_scanned_train_steps(
     if rules is None:
         jitted = jax.jit(run, donate_argnums=(0,))
     else:
+        state_sh = (state_shardings if state_shardings is not None
+                    else rules.params)
         jitted = jax.jit(
             run,
-            in_shardings=(rules.params, rules.params, None, None, None),
-            out_shardings=(rules.params, rules.params),
+            in_shardings=(state_sh, rules.params, None, None, None),
+            out_shardings=(state_sh, rules.params),
             donate_argnums=(0,),
         )
 
