@@ -300,3 +300,108 @@ def test_normalize_and_center_pcs(rng):
     datasets.normalize_pcs(pcs)
     for pc in pcs:
         assert abs(np.max(np.linalg.norm(pc, axis=1)) - 1.0) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# CADDrawingDataset (data/cad.py <- reference data/CADdataset.py)
+# ---------------------------------------------------------------------------
+
+
+def _make_cad_tree(tmp_path, rng, names, n_nodes):
+    from PIL import Image
+
+    img_dir = tmp_path / "images" / "training" / "images"
+    ann_dir = tmp_path / "annotations" / "training" / "constructed_graphs_withdeg"
+    img_dir.mkdir(parents=True)
+    ann_dir.mkdir(parents=True)
+    for name, n in zip(names, n_nodes):
+        Image.fromarray(
+            rng.randint(0, 255, size=(32, 48, 3)).astype(np.uint8)
+        ).save(img_dir / f"{name}.png")
+        anno = {
+            "class": rng.randint(0, 5, size=(n,)).astype(np.int64),
+            "centers_normed": rng.uniform(-1, 1, size=(n, 2)).astype(np.float32),
+            "node": rng.randint(0, 9, size=(n, 4)).astype(np.int64),
+            "degrees": rng.randint(0, 200, size=(n,)).astype(np.int64),
+        }
+        np.save(ann_dir / f"{name}.npy", anno, allow_pickle=True)
+    return tmp_path
+
+
+def test_cad_reader_basic(tmp_path, rng):
+    from types import SimpleNamespace
+
+    from simple3dformer_tpu.data.cad import CADDrawingDataset
+
+    root = _make_cad_tree(tmp_path, rng,
+                          ["0001-0001", "0104-0102", "0200-0003"],
+                          [40, 30, 25])
+    cfg = SimpleNamespace(clus_num_per_batch=4, nn=8, img_size=64)
+    ds = CADDrawingDataset(str(root), cfg=cfg)
+    # the corrupt 0104-0102 pair is dropped from BOTH lists (reference drops
+    # it only from images and then dies on its own length assert)
+    assert len(ds) == 2
+    image, pts, tgt, geo, deg, idxs, base = ds[0]
+    assert base == "0001-0001.png"
+    assert image.shape == (64, 64, 3) and image.dtype == np.float32
+    # normalized: a [0,1] image shifted by ImageNet mean/std has negatives
+    assert image.min() < 0
+    assert pts.shape == (40, 2) and tgt.shape == (40,)
+    assert deg.shape == (40, 1) and deg.max() <= 128
+    np.testing.assert_array_equal(idxs, [1.0])
+
+    raw = CADDrawingDataset(str(root), cfg=cfg, do_norm=False)[0][0]
+    assert raw.min() >= 0.0 and raw.max() <= 1.0
+
+
+def test_cad_reader_clustered(tmp_path, rng):
+    from types import SimpleNamespace
+
+    from simple3dformer_tpu.data.cad import CADDrawingDataset
+
+    root = _make_cad_tree(tmp_path, rng, ["a-1", "b-2", "c-3"], [40, 5, 24])
+    cfg = SimpleNamespace(clus_num_per_batch=4, nn=8, img_size=32)
+    ds = CADDrawingDataset(str(root), cfg=cfg, do_clus=True,
+                           rng=np.random.RandomState(0))
+    # filter_smallset drops the 5-node drawing (< nn=8)
+    assert len(ds) == 2
+    assert all("b-2" not in p for p in ds.anno_path_list)
+
+    _, pts, tgt, geo, deg, idxs, _ = ds[0]
+    assert pts.shape == (4, 8, 2)
+    assert tgt.shape == (4, 8) and geo.shape == (4, 8, 4)
+    assert deg.shape == (4, 8, 1) and idxs.shape == (4, 8)
+    # each cluster's first member is its own center (distance 0 sorts first)
+    anno = np.load(ds.anno_path_list[0], allow_pickle=True).item()
+    centers = np.asarray(anno["centers_normed"], np.float32)
+    np.testing.assert_allclose(pts, centers[idxs])
+
+    # eval split: grouped points but the FULL per-node target (reference
+    # :154 quirk), npoint = N // 8 for N <= 1000
+    ds_eval = CADDrawingDataset(str(root), cfg=cfg, do_clus=True,
+                                rng=np.random.RandomState(0))
+    ds_eval.split = "evaluation"
+    _, pts_e, tgt_e, _, _, idxs_e, _ = ds_eval[0]
+    assert pts_e.shape == (40 // 8, 8, 2)
+    assert tgt_e.shape == (40,)
+
+
+def test_cad_sample_and_group_matches_fps(rng):
+    from simple3dformer_tpu.data.cad import sample_and_group
+    from simple3dformer_tpu.data.datasets import _fps_numpy
+
+    xyz = rng.randn(50, 2).astype(np.float32)
+    tgt = rng.randint(0, 5, size=(50,))
+    geo = rng.randint(0, 9, size=(50, 3))
+    deg = rng.randint(0, 9, size=(50, 1))
+    g_xyz, g_tgt, g_geo, g_deg, idx = sample_and_group(
+        6, 4, xyz, tgt, geo, deg, np.random.RandomState(7), rand_prob=0.0)
+    fps_idx = _fps_numpy(xyz, 6, np.random.RandomState(7))
+    np.testing.assert_array_equal(idx[:, 0], fps_idx)  # self is 1st neighbor
+    # neighbors are the true 4 nearest by squared distance
+    for s in range(6):
+        d = ((xyz[fps_idx[s]] - xyz) ** 2).sum(-1)
+        np.testing.assert_array_equal(
+            np.sort(idx[s]), np.sort(np.argsort(d, kind="stable")[:4]))
+    np.testing.assert_array_equal(g_tgt, tgt[idx])
+    np.testing.assert_array_equal(g_deg, deg[idx])
