@@ -70,7 +70,39 @@ def run_dir(cfg, task: str) -> str:
         str(cfg.model.get("pretrained", False)),
     )
     os.makedirs(d, exist_ok=True)
+    _write_provenance(d, cfg)
     return d
+
+
+def _write_provenance(d: str, cfg) -> None:
+    """Run-dir provenance, mirroring the reference's two mechanisms: each
+    Hydra run copies the chosen ``models/<name>/model.py`` into its run dir
+    (/root/reference/train_cls.py:67, train_partseg.py:72) and Hydra itself
+    dumps the resolved config. Here: ``resolved_config.json`` (full cfg +
+    argv) plus a copy of the selected model's source file. Best-effort —
+    provenance must never fail a training run (read-only out_dir etc.)."""
+    import json
+    import shutil
+
+    try:
+        payload = {
+            "argv": list(sys.argv),
+            "config": cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg),
+        }
+        with open(os.path.join(d, "resolved_config.json"), "w") as f:
+            json.dump(payload, f, indent=2, default=str)
+
+        from ..models import hengshuang, point_vit
+        from ..models.registry import POINT_VIT_VARIANTS
+
+        name = str(cfg.model.name)
+        mod = (hengshuang if name == "Hengshuang"
+               else point_vit if name in POINT_VIT_VARIANTS else None)
+        if mod is not None and getattr(mod, "__file__", None):
+            shutil.copy(mod.__file__,
+                        os.path.join(d, os.path.basename(mod.__file__)))
+    except OSError as e:
+        print(f"provenance write skipped: {e}")
 
 
 def reference_optimizer(cfg, trainable_mask=None):

@@ -80,3 +80,29 @@ def test_s3dis_whole_scene(tmp_path, rng):
     # every point of the room appears at least once
     assert len(np.unique(idx)) == 5000
     assert ds.labelweights.shape == (13,)
+
+
+def test_run_dir_provenance(tmp_path):
+    """run_dir writes resolved_config.json + a copy of the chosen model's
+    source (the reference's Hydra provenance trick, train_cls.py:67)."""
+    import json
+    import os
+
+    from simple3dformer_tpu.cli._common import run_dir
+    from simple3dformer_tpu.core.config import Config
+
+    cfg = Config.from_dict({
+        "out_dir": str(tmp_path / "runs"),
+        "model": {"name": "3DViT", "transformer_backbone": "deit_tiny",
+                  "pretrained": False},
+    })
+    d = run_dir(cfg, "cls")
+    payload = json.load(open(os.path.join(d, "resolved_config.json")))
+    assert payload["config"]["model"]["name"] == "3DViT"
+    assert isinstance(payload["argv"], list)
+    assert os.path.exists(os.path.join(d, "point_vit.py"))
+
+    cfg2 = cfg.copy()
+    cfg2.model.name = "Hengshuang"
+    d2 = run_dir(cfg2, "cls")
+    assert os.path.exists(os.path.join(d2, "hengshuang.py"))
