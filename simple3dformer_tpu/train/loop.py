@@ -305,7 +305,11 @@ def make_scanned_eval(
         jitted = jax.jit(run, in_shardings=(rules.params, rules.params, None))
 
     def call(state, idx_matrix):
-        return jitted(state, dataset.arrays, idx_matrix)
+        # Drop the optimizer state from the operand: eval only reads
+        # params/batch_stats, and under ZeRO-1 (parallel/zero.py) the
+        # declared replicated in_sharding would otherwise all-gather every
+        # moment leaf per eval call.
+        return jitted(state.replace(opt_state=()), dataset.arrays, idx_matrix)
 
     return call
 
@@ -318,7 +322,12 @@ def make_eval_step(model, rules: Optional[ShardingRules] = None, method=None,
             variables["batch_stats"] = state.batch_stats
         return model.apply(variables, x, deterministic=True, method=method)
 
-    if rules is None:
-        return jax.jit(step)
-    return jax.jit(step, in_shardings=(rules.params, rules.batch),
-                   out_shardings=rules.batch)
+    jitted = (jax.jit(step) if rules is None
+              else jax.jit(step, in_shardings=(rules.params, rules.batch),
+                           out_shardings=rules.batch))
+
+    def call(state, x):
+        # see make_scanned_eval: keep optimizer leaves out of the operand
+        return jitted(state.replace(opt_state=()), x)
+
+    return call

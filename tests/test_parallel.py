@@ -363,3 +363,41 @@ def test_zero1_shardings_shapes():
     assert str(adam.mu["b"].spec) == "PartitionSpec(None, 'data')"
     assert str(adam.mu["odd"].spec) == "PartitionSpec()"
     assert str(adam.count.spec) == "PartitionSpec()"
+
+
+def test_zero1_checkpoint_roundtrip(tmp_path, rng):
+    """Orbax save/restore of a ZeRO-sharded TrainState: values survive and
+    the restored opt-state leaves come back with their 'data' shardings."""
+    import optax
+
+    from simple3dformer_tpu.core import checkpoint as ckpt_lib
+    from simple3dformer_tpu.parallel.zero import zero1_state_shardings
+    from simple3dformer_tpu.train.loop import create_train_state
+
+    mesh = make_mesh(n_data=8)
+    params = {"w": jnp.asarray(rng.randn(16, 4), jnp.float32),
+              "b": jnp.asarray(rng.randn(4), jnp.float32)}
+    tx = optax.adam(1e-3)
+    state = create_train_state(params, tx)
+    sh = zero1_state_shardings(state, mesh)
+    state = jax.device_put(state, sh)
+    # make the moments nonzero so the roundtrip check is meaningful
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    upd, opt2 = tx.update(g, state.opt_state, state.params)
+    state = state.replace(params=optax.apply_updates(state.params, upd),
+                          opt_state=opt2, step=state.step + 1)
+
+    ck = ckpt_lib.Checkpointer(str(tmp_path / "ck"))
+    ck.save(1, state, {"acc": 0.5})
+
+    template = jax.device_put(
+        jax.tree_util.tree_map(jnp.zeros_like, jax.device_get(state)), sh)
+    restored, metrics = ck.restore(template)
+    assert metrics["acc"] == 0.5
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b))),
+        jax.device_get(state), restored)
+    mu_w = restored.opt_state[0].mu["w"]
+    assert "data" in str(mu_w.sharding.spec)
+    assert mu_w.addressable_shards[0].data.shape[0] == 16 // 8
