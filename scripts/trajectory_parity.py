@@ -314,6 +314,122 @@ def run_voxel(steps=300, batch=16, lr=3e-4, seed=0):
     return _train_both(model, variables, xs, ys, fwd, steps, batch, lr)
 
 
+def t_patchify2d(x, P):
+    B, H, W, C = x.shape
+    gh, gw = H // P, W // P
+    x = x.reshape(B, gh, P, gw, P, C).permute(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, gh * gw, P * P * C)
+
+
+def t_vit2d_forward(tree, x, heads, depth, patch):
+    """nn/vit.ViT2D forward (also VoxelViT.forward_images — same param
+    names: patch_embed/cls_token/pos_embed/core/head)."""
+    tok = (t_patchify2d(x, patch) @ tree["patch_embed"]["kernel"]
+           + tree["patch_embed"]["bias"])
+    B = tok.shape[0]
+    cls = tree["cls_token"].expand(B, -1, -1)
+    tok = torch.cat([cls, tok], 1) + tree["pos_embed"]
+    for i in range(depth):
+        tok = t_block(tree["core"][f"blocks_{i}"], tok, heads)
+    tok = t_layernorm(tree["core"]["norm"], tok)
+    return t_dense(tree["head"], tok[:, 0])
+
+
+_IMNET_MEAN = torch.tensor([0.485, 0.456, 0.406])
+_IMNET_STD = torch.tensor([0.229, 0.224, 0.225])
+
+
+def run_lwf(steps=300, batch=16, lr=3e-4, seed=0, lam=0.1, img=32):
+    """LwF: task CE + lambda * CE(student.forward_images, argmax(teacher)).
+
+    Mirrors the reference's central mechanism
+    (/root/reference/train_cls_voxel.py:238-268): the jax side runs the
+    production make_scanned_lwf_train_steps (teacher forward under
+    stop_gradient inside the same jit program); the torch side runs the
+    same two-term loss with a frozen torch teacher. Both students start
+    from the same init, see the same voxel AND image batches.
+    """
+    from simple3dformer_tpu.train.lwf import make_scanned_lwf_train_steps
+
+    torch.manual_seed(0)
+    rng = np.random.RandomState(seed)
+    xs, ys = make_shape_voxels(N_TRAIN, rng)
+    imgs_u8 = (rng.rand(N_TRAIN, img, img, 3) * 255).astype(np.uint8)
+
+    _tiny = dict(patch_size=16, embed_dim=96, depth=3, num_heads=3,
+                 mlp_ratio=4.0, qkv_bias=True)
+    existing = vit_mod.BACKBONES.get("traj_tiny")
+    if existing is not None and existing != _tiny:
+        raise RuntimeError("BACKBONES['traj_tiny'] conflict")
+    vit_mod.BACKBONES["traj_tiny"] = _tiny
+
+    emb = VoxelEmbed(voxel_size=V, cell_size=4, patch_size=4, embed_dim=96)
+    model = VoxelViT(voxel_embed=emb, n_classes=3,
+                     transformer_backbone="traj_tiny", img_size=img)
+    x0 = jnp.zeros((2, V, V, V))
+    img0 = jnp.zeros((2, img, img, 3))
+    variables = jax.jit(
+        lambda k, a, b: model.init(k, a, b, method=model.init_all)
+    )(jax.random.key(0), x0, img0)
+
+    teacher = vit_mod.ViT2D(embed_dim=96, depth=3, num_heads=3,
+                            mlp_ratio=4.0, qkv_bias=True, patch_size=16,
+                            num_classes=1000, img_size=img)
+    t_vars = jax.jit(teacher.init)(jax.random.key(5), img0)
+    t_params = t_vars["params"]
+
+    s_tree = tree_to_torch(variables["params"])
+    t_tree = tree_to_torch(t_params)
+
+    # ---- jax side: the production LwF scan path ----
+    tx = make_optimizer("Adam")
+    state = create_train_state(variables["params"], tx)
+    task_ds = DeviceResidentDataset({"x": xs, "y": ys})
+    image_ds = DeviceResidentDataset({"images": imgs_u8})
+    run = make_scanned_lwf_train_steps(model, teacher, t_params, tx,
+                                       task_ds, image_ds,
+                                       lambda_weight=lam)
+    idx_rng = np.random.RandomState(1)
+    task_idx = idx_rng.randint(0, N_TRAIN, size=(steps, batch))
+    img_idx = idx_rng.randint(0, N_TRAIN, size=(steps, batch))
+    _, metrics = run(state, jnp.asarray(task_idx), jnp.asarray(img_idx),
+                     lr, jax.random.key(0))
+    jl = np.asarray(metrics["loss"], np.float64)
+    j_task = np.asarray(metrics["task_loss"], np.float64)
+    j_lwf = np.asarray(metrics["lwf_loss"], np.float64)
+
+    # ---- torch side ----
+    opt = torch.optim.Adam(list(torch_leaves(s_tree)), lr=lr,
+                           betas=(0.9, 0.999), eps=1e-8)
+    tx_all = torch.from_numpy(np.asarray(xs, np.float32))
+    ty_all = torch.from_numpy(np.asarray(ys)).long()
+    tim_all = torch.from_numpy(imgs_u8.astype(np.float32)) / 255.0
+    tim_all = (tim_all - _IMNET_MEAN) / _IMNET_STD
+    tl, t_task_l, t_lwf_l, ta = [], [], [], []
+    for s in range(steps):
+        bx, by = tx_all[task_idx[s]], ty_all[task_idx[s]]
+        bimg = tim_all[img_idx[s]]
+        with torch.no_grad():
+            t_lab = t_vit2d_forward(t_tree, bimg, 3, 3, 16).argmax(-1)
+        logits = t_voxel_forward(s_tree, bx, heads=3, depth=3, cell=4)
+        img_pred = t_vit2d_forward(s_tree, bimg, 3, 3, 16)
+        task_loss = F.cross_entropy(logits, by)
+        lwf_loss = F.cross_entropy(img_pred, t_lab)
+        loss = task_loss + lam * lwf_loss
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        tl.append(float(loss.detach()))
+        t_task_l.append(float(task_loss.detach()))
+        t_lwf_l.append(float(lwf_loss.detach()))
+        ta.append(float((logits.argmax(-1) == by).float().mean()))
+    nan = np.full(steps, np.nan)
+    return dict(jax_loss=jl, torch_loss=np.array(tl),
+                jax_task=j_task, torch_task=np.array(t_task_l),
+                jax_lwf=j_lwf, torch_lwf=np.array(t_lwf_l),
+                jax_acc=nan, torch_acc=np.array(ta))
+
+
 def run_hengshuang(steps=300, batch=16, lr=1e-3, seed=0, npoint=64):
     """Hengshuang cls at the learnability-test tiny config."""
     torch.manual_seed(0)
@@ -359,7 +475,11 @@ def summarize(name, r, exact_steps=EXACT_STEPS, window=50):
                      f"{abs(mj - mt) / max(mt, 1e-9):.3%}")
     fj = r["jax_acc"][-window:].mean()
     ft = r["torch_acc"][-window:].mean()
-    lines.append(f"final-{window}-step train acc: jax {fj:.3f} torch {ft:.3f}")
+    if math.isnan(fj):  # LwF metrics carry losses only
+        lines.append(f"final-{window}-step train acc: torch {ft:.3f} "
+                     f"(jax LwF metrics carry losses only)")
+    else:
+        lines.append(f"final-{window}-step train acc: jax {fj:.3f} torch {ft:.3f}")
     return "\n".join(lines), dict(exact_max=float(exact.max()),
                                   exact_rel=float(rel.max()),
                                   windows=stats, acc=(float(fj), float(ft)))
@@ -369,7 +489,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--model", default="both",
-                    choices=["voxel", "hengshuang", "both"])
+                    choices=["voxel", "hengshuang", "lwf", "both"])
     args = ap.parse_args()
     if args.model in ("voxel", "both"):
         txt, _ = summarize("flagship VoxelViT (tiny)", run_voxel(args.steps))
@@ -378,6 +498,16 @@ def main():
         txt, _ = summarize("Hengshuang cls (tiny)",
                            run_hengshuang(args.steps))
         print(txt)
+    if args.model in ("lwf", "both"):
+        r = run_lwf(args.steps)
+        txt, _ = summarize("LwF VoxelViT + frozen teacher (tiny)", r)
+        print(txt)
+        d_task = np.abs(r["jax_task"][:EXACT_STEPS]
+                        - r["torch_task"][:EXACT_STEPS]).max()
+        d_lwf = np.abs(r["jax_lwf"][:EXACT_STEPS]
+                       - r["torch_lwf"][:EXACT_STEPS]).max()
+        print(f"per-term exactness (first {EXACT_STEPS}): max |d task_loss| "
+              f"= {d_task:.2e}  max |d lwf_loss| = {d_lwf:.2e}")
 
 
 if __name__ == "__main__":

@@ -60,3 +60,22 @@ def test_hengshuang_trajectory_tracks_torch():
     aj, at = r["jax_acc"][-50:].mean(), r["torch_acc"][-50:].mean()
     assert abs(aj - at) < 0.15, f"train-acc gap {aj} vs {at}"
     assert aj > 0.8 and at > 0.8
+
+
+@pytest.mark.slow
+def test_lwf_trajectory_tracks_torch():
+    """The LwF two-term loss (task CE + lambda * distillation CE against a
+    frozen teacher's argmax labels) tracks the torch mirror per term —
+    evidence the reference's central mechanism trains identically, teacher
+    labels included (a single disagreeing argmax label would move lwf_loss
+    by ~1/batch ~ 6e-2, 3 orders above the tolerance)."""
+    r = tp.run_lwf(steps=60)
+    d = np.abs(r["jax_loss"][:40] - r["torch_loss"][:40])
+    assert d.max() < 1e-3, f"exactness window diverged: max |dloss|={d.max()}"
+    d_task = np.abs(r["jax_task"][:40] - r["torch_task"][:40]).max()
+    d_lwf = np.abs(r["jax_lwf"][:40] - r["torch_lwf"][:40]).max()
+    assert d_task < 1e-3, f"task-loss term diverged: {d_task}"
+    assert d_lwf < 1e-3, f"lwf-loss term diverged: {d_lwf}"
+    mj, mt = r["jax_loss"][-20:].mean(), r["torch_loss"][-20:].mean()
+    assert abs(mj - mt) / mt < 0.02, f"trend gap {mj} vs {mt}"
+    assert r["torch_acc"][-20:].mean() > 0.8  # the task is actually learned
