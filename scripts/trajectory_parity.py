@@ -314,6 +314,91 @@ def run_voxel(steps=300, batch=16, lr=3e-4, seed=0):
     return _train_both(model, variables, xs, ys, fwd, steps, batch, lr)
 
 
+def t_permute_mlp(p, x, seg):
+    """models/vip3d.WeightedPermuteMLP (vip_3d.py:43-88 semantics incl. the
+    z-mix-reuses-mlp_w quirk and the 4-way softmax reweight gate)."""
+    B, H, W, Z, C = x.shape
+    S, T = C // seg, C // H
+
+    def lin(name, v):
+        out = v @ p[name]["kernel"]
+        return out + p[name]["bias"] if "bias" in p[name] else out
+
+    h = x.reshape(B, H, W, Z, seg, S).permute(0, 4, 3, 2, 1, 5)
+    h = lin("mlp_h", h.reshape(B, seg, Z, W, H * S))
+    h = h.reshape(B, seg, Z, W, H, T).permute(0, 4, 3, 2, 1, 5)
+    h = h.reshape(B, H, W, Z, C)
+    w = x.reshape(B, H, W, Z, seg, S).permute(0, 1, 4, 3, 2, 5)
+    w = lin("mlp_w", w.reshape(B, H, seg, Z, W * S))
+    w = w.reshape(B, H, seg, Z, W, T).permute(0, 1, 4, 3, 2, 5)
+    w = w.reshape(B, H, W, Z, C)
+    z = x.reshape(B, H, W, Z, seg, S).permute(0, 2, 1, 4, 3, 5)
+    z = lin("mlp_w", z.reshape(B, W, H, seg, Z * S))  # quirk: mlp_w, not mlp_z
+    z = z.reshape(B, W, H, seg, Z, T).permute(0, 2, 1, 4, 3, 5)
+    z = z.reshape(B, H, W, Z, C)
+    c = lin("mlp_c", x)
+
+    a = (h + w + z + c).reshape(B, -1, C).mean(1)
+    a = F.gelu(t_dense(p["reweight"]["fc1"], a), approximate="tanh")
+    a = t_dense(p["reweight"]["fc2"], a)
+    a = a.reshape(B, C, 4).permute(2, 0, 1).softmax(0)[:, :, None, None, None, :]
+    out = h * a[0] + w * a[1] + z * a[2] + c * a[3]
+    return t_dense(p["proj"], out)
+
+
+def t_perm_block(p, x, seg):
+    h = t_layernorm(p["norm1"], x)
+    x = x + t_permute_mlp(p["attn"], h, seg)
+    h = t_layernorm(p["norm2"], x)
+    h = F.gelu(t_dense(p["mlp"]["fc1"], h), approximate="tanh")
+    return x + t_dense(p["mlp"]["fc2"], h)
+
+
+def t_vip3d_forward(tree, x, layers, segs, transitions, cell):
+    """models/vip3d.VisionPermutator3D forward (VoxelEmbedNoAverage embed,
+    stages, transition-2 downsamples, LN + mean-pool head)."""
+    patches, _ = t_patchify3d(x, cell)
+    tok = (patches @ tree["embed_layer"]["kernel"]
+           + tree["embed_layer"]["bias"])
+    for i, n in enumerate(layers):
+        for b in range(n):
+            tok = t_perm_block(tree[f"stage{i}_block{b}"], tok, segs[i])
+        if i < len(layers) - 1 and transitions[i]:
+            B, H, W, Z, C = tok.shape
+            g = H // 2
+            t2 = tok.reshape(B, g, 2, g, 2, g, 2, C)
+            t2 = t2.permute(0, 1, 3, 5, 2, 4, 6, 7).reshape(B, g, g, g, 8 * C)
+            tok = t2 @ tree[f"downsample{i}"]["proj"]["kernel"]  # bias-free
+    B = tok.shape[0]
+    tok = tok.reshape(B, -1, tok.shape[-1])
+    tok = t_layernorm(tree["norm"], tok)
+    return t_dense(tree["head"], tok.mean(1))
+
+
+def run_vip3d(steps=300, batch=16, lr=3e-4, seed=0):
+    """ViP-3D at a tiny 2-stage config (with a real transition-2 downsample);
+    mirrors /root/reference/train_pure_mlp.py's Adam + CE loop semantics."""
+    from simple3dformer_tpu.models.vip3d import VisionPermutator3D
+    from simple3dformer_tpu.nn.voxel_embed import VoxelEmbedNoAverage
+
+    torch.manual_seed(0)
+    rng = np.random.RandomState(seed)
+    xs, ys = make_shape_voxels(N_TRAIN, rng)
+    layers, segs, transitions = [2, 2], [4, 2], [True, False]
+    emb = VoxelEmbedNoAverage(voxel_size=V, cell_size=4, patch_size=4,
+                              embed_dim=96)
+    model = VisionPermutator3D(
+        embed_layer=emb, layers=layers, embed_dims=[96, 96],
+        transitions=transitions, segment_dim=segs, mlp_ratios=[3, 3],
+        num_classes=3)
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, V, V, V)))
+
+    def fwd(tree, bx):
+        return t_vip3d_forward(tree, bx, layers, segs, transitions, cell=4)
+
+    return _train_both(model, variables, xs, ys, fwd, steps, batch, lr)
+
+
 def t_patchify2d(x, P):
     B, H, W, C = x.shape
     gh, gw = H // P, W // P
@@ -489,7 +574,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--model", default="both",
-                    choices=["voxel", "hengshuang", "lwf", "both"])
+                    choices=["voxel", "hengshuang", "lwf", "vip3d", "both"])
     args = ap.parse_args()
     if args.model in ("voxel", "both"):
         txt, _ = summarize("flagship VoxelViT (tiny)", run_voxel(args.steps))
@@ -497,6 +582,9 @@ def main():
     if args.model in ("hengshuang", "both"):
         txt, _ = summarize("Hengshuang cls (tiny)",
                            run_hengshuang(args.steps))
+        print(txt)
+    if args.model in ("vip3d", "both"):
+        txt, _ = summarize("ViP-3D permutator (tiny)", run_vip3d(args.steps))
         print(txt)
     if args.model in ("lwf", "both"):
         r = run_lwf(args.steps)

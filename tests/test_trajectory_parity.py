@@ -79,3 +79,17 @@ def test_lwf_trajectory_tracks_torch():
     mj, mt = r["jax_loss"][-20:].mean(), r["torch_loss"][-20:].mean()
     assert abs(mj - mt) / mt < 0.02, f"trend gap {mj} vs {mt}"
     assert r["torch_acc"][-20:].mean() > 0.8  # the task is actually learned
+
+
+@pytest.mark.slow
+def test_vip3d_trajectory_tracks_torch():
+    """ViP-3D (permute-MLP mixes + softmax reweight gate + transition
+    downsample): continuous landscape like VoxelViT, so the torch mirror
+    must track to f32 noise (measured 2e-6 over 50 steps)."""
+    r = tp.run_vip3d(steps=60)
+    d = np.abs(r["jax_loss"][:40] - r["torch_loss"][:40])
+    assert d.max() < 1e-3, f"exactness window diverged: max |dloss|={d.max()}"
+    mj, mt = r["jax_loss"][-20:].mean(), r["torch_loss"][-20:].mean()
+    assert abs(mj - mt) / mt < 0.02, f"trend gap {mj} vs {mt}"
+    aj, at = r["jax_acc"][-20:].mean(), r["torch_acc"][-20:].mean()
+    assert abs(aj - at) < 0.1 and aj > 0.7
