@@ -181,9 +181,6 @@ def main(argv=None):
         state = jax.device_put(state, rules.params)
 
     cw = jnp.asarray(weights) if weights is not None else None
-    if args.lwf and args.zero1:
-        raise SystemExit("--zero1 is not supported with --lwf (the LwF scan "
-                         "builder keeps replicated optimizer state)")
     if args.lwf:
         # LwF branch (/root/reference/train_cls_voxel.py:238-268): frozen DeiT
         # teacher + ImageNet-val images zipped with the voxel batches.
@@ -206,6 +203,7 @@ def main(argv=None):
             model, teacher, t_params, tx, train_ds, image_ds, rules,
             lambda_weight=0.1,
             image_augment_fn=device_random_resized_crop_flip,
+            state_shardings=state_sh,
         )
 
         def train_run(state, idx, lr, key, _rng=np.random.RandomState(args.seed)):

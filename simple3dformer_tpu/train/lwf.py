@@ -95,6 +95,7 @@ def make_scanned_lwf_train_steps(
     x_dtype=jnp.float32,
     x_key: str = "x",
     y_key: str = "y",
+    state_shardings=None,
 ):
     """Jitted (state, task_idx [S,B], img_idx [S,M], lr, rng) -> (state, metrics).
 
@@ -102,6 +103,12 @@ def make_scanned_lwf_train_steps(
     the raw gathered canvas (fresh RandomResizedCrop+flip per STEP — the
     reference re-transforms per epoch, train_partseg_lwf.py:125-129); its
     output is then ImageNet-normalized.
+
+    ``state_shardings``: optional TrainState-shaped pytree of NamedShardings
+    replacing ``rules.params`` for the state operand/result — the ZeRO-1
+    path (parallel/zero.zero1_state_shardings); most valuable here, where
+    the deit_base student's Adam moments are the largest optimizer state in
+    the framework.
     """
 
     def one_step(state: TrainState, t_params, task_arrays, img_arrays, task_idx, img_idx, lr, rng):
@@ -182,11 +189,13 @@ def make_scanned_lwf_train_steps(
     if rules is None:
         jitted = jax.jit(run, donate_argnums=(0,))
     else:
+        state_sh = (state_shardings if state_shardings is not None
+                    else rules.params)
         jitted = jax.jit(
             run,
-            in_shardings=(rules.params, rules.params, rules.params,
+            in_shardings=(state_sh, rules.params, rules.params,
                           rules.params, None, None, None, None),
-            out_shardings=(rules.params, rules.params),
+            out_shardings=(state_sh, rules.params),
             donate_argnums=(0,),
         )
 

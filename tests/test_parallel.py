@@ -401,3 +401,61 @@ def test_zero1_checkpoint_roundtrip(tmp_path, rng):
     mu_w = restored.opt_state[0].mu["w"]
     assert "data" in str(mu_w.sharding.spec)
     assert mu_w.addressable_shards[0].data.shape[0] == 16 // 8
+
+
+def test_zero1_lwf_matches_replicated(rng):
+    """The LwF scan path under ZeRO-1 (train/lwf.py state_shardings=) is a
+    pure layout change on the dp-8 mesh: same losses (both terms) as the
+    replicated run, frozen 2D head untouched, moments actually sharded."""
+    from simple3dformer_tpu.models.voxel_vit import VoxelViT, frozen_mask
+    from simple3dformer_tpu.nn.vit import ViT2D
+    from simple3dformer_tpu.nn.voxel_embed import VoxelEmbed
+    from simple3dformer_tpu.parallel.zero import (sharded_fraction,
+                                                  zero1_state_shardings)
+    from simple3dformer_tpu.train.lwf import make_scanned_lwf_train_steps
+
+    emb = VoxelEmbed(voxel_size=8, cell_size=4, patch_size=2, embed_dim=192)
+    model = VoxelViT(voxel_embed=emb, n_classes=4,
+                     transformer_backbone="deit_tiny_patch16_224", img_size=32)
+    teacher = ViT2D(embed_dim=64, depth=1, num_heads=2, img_size=32)
+    x0, img0 = jnp.zeros((2, 8, 8, 8)), jnp.zeros((2, 32, 32, 3))
+    variables = jax.jit(
+        lambda k, a, b: model.init(k, a, b, method=model.init_all)
+    )(jax.random.key(0), x0, img0)
+    t_params = jax.jit(teacher.init)(jax.random.key(1), img0)["params"]
+    head_before = np.asarray(variables["params"]["head"]["kernel"]).copy()
+
+    mesh = make_mesh(n_data=8)
+    rules = ShardingRules(mesh)
+    task_ds = DeviceResidentDataset({
+        "x": (rng.rand(32, 8, 8, 8) > 0.8).astype(np.uint8),
+        "y": rng.randint(0, 4, size=(32,)).astype(np.int32),
+    }, mesh=mesh)
+    image_ds = DeviceResidentDataset({
+        "images": (rng.rand(32, 32, 32, 3) * 255).astype(np.uint8),
+    }, mesh=mesh)
+    tx = make_optimizer(
+        "Adam", trainable_mask=frozen_mask(variables["params"], True))
+    idx = rng.randint(0, 32, size=(2, 16)).astype(np.int32)
+
+    def run_with(zero):
+        params = jax.tree_util.tree_map(jnp.array, variables["params"])
+        state = create_train_state(params, tx)
+        sh = zero1_state_shardings(state, mesh) if zero else rules.params
+        state = jax.device_put(state, sh)
+        run = make_scanned_lwf_train_steps(
+            model, teacher, t_params, tx, task_ds, image_ds, rules,
+            state_shardings=sh if zero else None)
+        state, m = run(state, rules.put_scan_idx(idx), rules.put_scan_idx(idx),
+                       1e-3, jax.random.key(2))
+        return state, {k: np.asarray(jax.device_get(v)) for k, v in m.items()}
+
+    state_r, m_r = run_with(False)
+    state_z, m_z = run_with(True)
+    for k in ("loss", "task_loss", "lwf_loss"):
+        np.testing.assert_allclose(m_r[k], m_z[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=f"metric {k}")
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(state_z.params["head"]["kernel"])),
+        head_before)
+    assert sharded_fraction(state_z) > 0.9
