@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..core.config import Config, load_task_config
 from ..core.rng import DEFAULT_SEED
 from ..data.pipeline import DeviceResidentDataset
-from ..parallel.mesh import ShardingRules, make_mesh, multihost_init
+from ..parallel.mesh import ShardingRules, fetch_global, make_mesh, multihost_init
 from ..train.optim import make_optimizer, steplr
 
 
@@ -154,4 +154,6 @@ class EpochTimer:
 
 
 def to_host(x) -> np.ndarray:
-    return np.asarray(x)
+    """Device -> host fetch that stays correct under multi-process runs
+    (cross-process shards are all-gathered; see parallel.mesh.fetch_global)."""
+    return fetch_global(x)

@@ -36,7 +36,7 @@ from ..data.pipeline import DeviceResidentDataset
 from ..models.voxel_vit import VoxelViT, frozen_mask
 from ..nn.vit import EMBED_DIM
 from ..nn.voxel_embed import make_embed_layer
-from ..parallel.mesh import ShardingRules, make_mesh, multihost_init
+from ..parallel.mesh import ShardingRules, fetch_global, make_mesh, multihost_init
 from ..train import health
 from ..train.eval_metrics import ClassificationMeter
 from ..train.loop import (
@@ -241,7 +241,7 @@ def main(argv=None):
         dt = time.time() - t0
         sps = idx.shape[0] * idx.shape[1] / dt
 
-        logits = np.asarray(eval_run(state, eval_idx)).reshape(-1, n_classes)
+        logits = fetch_global(eval_run(state, eval_idx)).reshape(-1, n_classes)
         meter = ClassificationMeter(n_classes)
         meter.update(np.argmax(logits[: len(te_y)], -1), te_y)
         oa, mca = meter.overall_accuracy, meter.mean_class_accuracy

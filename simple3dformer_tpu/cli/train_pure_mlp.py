@@ -28,7 +28,7 @@ from ..data.classmaps import CLASSES_ModelNet40, CLASSES_SHAPENET
 from ..data.pipeline import DeviceResidentDataset
 from ..models.vip3d import VisionPermutator3D
 from ..nn.voxel_embed import VoxelEmbedNoAverage
-from ..parallel.mesh import ShardingRules, make_mesh, multihost_init
+from ..parallel.mesh import ShardingRules, fetch_global, make_mesh, multihost_init
 from ..train.eval_metrics import ClassificationMeter
 from ..train.loop import create_train_state, make_scanned_eval, make_scanned_train_steps
 from ..train.optim import epoch_lr, make_optimizer
@@ -144,7 +144,7 @@ def main(argv=None):
         loss = float(jnp.mean(metrics["loss"]))
         sps = idx.shape[0] * idx.shape[1] / (time.time() - t0)
 
-        logits = np.asarray(eval_run(state, eval_idx)).reshape(-1, n_classes)
+        logits = fetch_global(eval_run(state, eval_idx)).reshape(-1, n_classes)
         meter = ClassificationMeter(n_classes)
         meter.update(np.argmax(logits[: len(te_y)], -1), te_y)
         oa = meter.overall_accuracy

@@ -60,11 +60,60 @@ def multihost_init() -> None:
 
     Mirrors the reference's env:// + SLURM rendezvous
     (/root/reference/train_cls_voxel.py:384-396, train_pure_mlp.py:283-306)
-    with ``jax.distributed.initialize``, which auto-detects cluster envs
-    (SLURM included). No-op for single-host runs.
+    with ``jax.distributed.initialize``. Three rendezvous routes, first match
+    wins:
+
+      * explicit JAX vars — ``JAX_COORDINATOR_ADDRESS`` (host:port), plus
+        ``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID`` (jax only reads the address
+        from env; the counts must be passed explicitly)
+      * torch env:// names for reference-launcher parity —
+        ``MASTER_ADDR``/``MASTER_PORT``/``WORLD_SIZE``/``RANK``
+        (same contract as ``dist.init_process_group(init_method="env://")``)
+      * SLURM auto-detect (``jax.distributed.initialize()`` no-arg path),
+        matching the reference's hostfile rendezvous under sbatch
+
+    On CPU backends the cross-process collective implementation is switched
+    to gloo (the default has no inter-process channel) — this is how the
+    multi-process path is exercised in tests/test_multiprocess.py without a
+    real multi-chip slice. No-op for single-host runs.
     """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("SLURM_JOB_ID"):
-        jax.distributed.initialize()
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr is None and os.environ.get("MASTER_ADDR") and os.environ.get("WORLD_SIZE"):
+        addr = (f"{os.environ['MASTER_ADDR']}:"
+                f"{os.environ.get('MASTER_PORT', '29500')}")
+    if addr is None:
+        if os.environ.get("SLURM_JOB_ID"):
+            jax.distributed.initialize()
+        return
+    n = os.environ.get("JAX_NUM_PROCESSES") or os.environ.get("WORLD_SIZE")
+    pid = os.environ.get("JAX_PROCESS_ID") or os.environ.get("RANK")
+    platforms = jax.config.jax_platforms or ""
+    if "cpu" in str(platforms):
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(n) if n else None,
+        process_id=int(pid) if pid else None,
+    )
+
+
+def fetch_global(x) -> np.ndarray:
+    """Fetch a (possibly cross-process-sharded) device array to host numpy.
+
+    Single-process: plain ``np.asarray``. Multi-process: a process can only
+    read its addressable shards, so non-replicated arrays are all-gathered
+    across processes first (``multihost_utils.process_allgather``) — every
+    process returns the full array, keeping callers rank-oblivious (the
+    reference's loops are rank-oblivious too: DDP allreduces metrics,
+    /root/reference/train_pure_mlp.py:118-133).
+    """
+    if jax.process_count() == 1 or getattr(x, "sharding", None) is None:
+        return np.asarray(jax.device_get(x))
+    if x.sharding.is_fully_replicated:
+        return np.asarray(jax.device_get(x))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
