@@ -35,6 +35,26 @@ def make_shape_voxels(n, rng):
     return xs, ys
 
 
+def make_catplane_seg(n, npoint, n_cat, rng):
+    """Per-point 2-class task conditioned on a shape category (partseg-style).
+
+    Each sample carries a category c in [0, n_cat); points are labeled by
+    which side of a category-specific tilted plane they fall on. The plane
+    normal is a function of c alone, so the model can only solve the task by
+    reading the one-hot category channels the partseg pipeline concatenates
+    (/root/reference/train_partseg.py:41,160) — this exercises the
+    prepare_fn one-hot path, not just the geometry."""
+    normals = np.stack([
+        np.array([np.cos(2 * np.pi * c / n_cat),
+                  np.sin(2 * np.pi * c / n_cat), 0.6], np.float32)
+        for c in range(n_cat)
+    ])
+    xs = rng.uniform(-1, 1, (n, npoint, 3)).astype(np.float32)
+    cs = rng.randint(0, n_cat, size=n).astype(np.int32)
+    ys = (np.einsum("npc,nc->np", xs, normals[cs]) > 0).astype(np.int32)
+    return xs, cs, ys
+
+
 def make_shape_points(n, npoint, rng):
     """3 classes of point clouds: sphere surface, cube surface, noisy line."""
     xs = np.zeros((n, npoint, 3), np.float32)

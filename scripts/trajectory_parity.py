@@ -55,7 +55,8 @@ from simple3dformer_tpu.models.voxel_vit import VoxelViT  # noqa: E402
 from simple3dformer_tpu.nn import vit as vit_mod  # noqa: E402
 from simple3dformer_tpu.nn.voxel_embed import VoxelEmbed  # noqa: E402
 from simple3dformer_tpu.train.loop import (  # noqa: E402
-    create_train_state, make_scanned_train_steps)
+    create_train_state, cross_entropy, make_scanned_train_steps,
+    seg_cross_entropy)
 from simple3dformer_tpu.train.optim import make_optimizer  # noqa: E402
 
 N_TRAIN = 256   # synthetic corpus size
@@ -68,7 +69,8 @@ import pathlib  # noqa: E402
 import sys  # noqa: E402
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
-from synthetic_tasks import V, make_shape_points, make_shape_voxels  # noqa: E402,F401
+from synthetic_tasks import (  # noqa: E402,F401
+    V, make_catplane_seg, make_shape_points, make_shape_voxels)
 
 
 # --------------------------------------------------------------------------
@@ -245,14 +247,66 @@ def t_hengshuang_forward(tree, x, nblocks, nneighbor, num_point, d_model):
     return t_dense(head["fc3"], h)
 
 
+# ---- 3DViT (PointViT) seg mirror pieces ----
+
+def t_linear_bn_relu(p, x, eps=1e-5):
+    """models/hengshuang.LinearBNReLU in training mode (batch statistics)."""
+    h = t_dense(p["fc"], x)
+    ax = tuple(range(h.dim() - 1))
+    mu = h.mean(ax, keepdim=True)
+    var = h.var(ax, unbiased=False, keepdim=True)
+    h = (h - mu) / torch.sqrt(var + eps) * p["bn"]["scale"] + p["bn"]["bias"]
+    return torch.relu(h)
+
+
+def t_three_interp(xyz1, xyz2, feats2):
+    """ops/pointops.three_nn_interpolate (pointnet_util.py:398-408 math)."""
+    d = t_square_distance(xyz1, xyz2)
+    neg, idx = torch.topk(-d, 3, dim=-1)
+    recip = 1.0 / (-neg + 1e-8)
+    w = recip / recip.sum(-1, keepdim=True)
+    return (t_index_points(feats2, idx) * w[..., None]).sum(2)
+
+
+def t_transition_up(p, xyz_coarse, h_coarse, xyz_fine, f_fine):
+    """models/hengshuang.TransitionUp: interp(fc1(coarse)) + fc2(fine)."""
+    f1 = t_linear_bn_relu(p["fc1"], h_coarse)
+    f2 = t_linear_bn_relu(p["fc2"], f_fine)
+    return t_three_interp(xyz_fine, xyz_coarse, f1) + f2
+
+
+def t_point_vit_seg_forward(tree, x, heads, depth, num_point, nneighbor):
+    """models/point_vit.PointViT seg forward, variant 3DViT_1_layer
+    (/root/reference/models/3DViT_1_layer/model.py:292-319,349): stem + pos
+    stem, one TransitionDown to N/4, cls token + ViT core, strip cls, one
+    TransitionUp back to N, per-point head."""
+    xyz = x[..., :3]
+    f = t_mlp2(tree["fc1"], x) + t_mlp2(tree["fc_pos_embed"], xyz)
+    xyz1, f1 = t_transition_down(
+        tree["transition_downs_0"], xyz, f, num_point // 4, nneighbor, n_mlp=2)
+    cls = tree["cls_token"].expand(f1.shape[0], -1, -1)
+    tok = torch.cat([cls, f1], 1)
+    for i in range(depth):
+        tok = t_block(tree["core"][f"blocks_{i}"], tok, heads)
+    tok = t_layernorm(tree["core"]["norm"], tok)
+    h = t_transition_up(tree["transition_ups_0"], xyz1, tok[:, 1:], xyz, f)
+    return t_dense(tree["new_head"], h)
+
+
 # --------------------------------------------------------------------------
 # side-by-side training
 # --------------------------------------------------------------------------
 
 def _train_both(model, variables, xs, ys, torch_forward, steps, batch, lr,
-                has_bn=False):
+                has_bn=False, cs=None, n_cat=0, seg=False):
     """Train the jax production loop and the torch mirror on identical
-    batches from identical weights; return per-step loss/acc for both."""
+    batches from identical weights; return per-step loss/acc for both.
+
+    ``cs``/``n_cat``: per-sample shape categories — routes the jax side
+    through the partseg one-hot prepare_fn (cli.train_partseg.make_prepare_fn)
+    while the torch side concatenates the same one-hot channels up front.
+    ``seg``: per-point CE (train_partseg.py:165 semantics) instead of
+    per-sample CE."""
     # snapshot the init BEFORE the jax run donates (and frees) its buffers
     tree = tree_to_torch(variables["params"])
 
@@ -260,8 +314,18 @@ def _train_both(model, variables, xs, ys, torch_forward, steps, batch, lr,
     tx = make_optimizer("Adam")
     state = create_train_state(variables["params"], tx,
                                variables.get("batch_stats"))
-    ds = DeviceResidentDataset({"x": xs, "y": ys})
-    run = make_scanned_train_steps(model, tx, ds, has_batch_stats=has_bn)
+    arrays = {"x": xs, "y": ys}
+    prepare = None
+    if cs is not None:
+        from simple3dformer_tpu.cli.train_partseg import make_prepare_fn
+
+        arrays["cls"] = cs
+        prepare = make_prepare_fn(n_cat)
+    ds = DeviceResidentDataset(arrays)
+    run = make_scanned_train_steps(
+        model, tx, ds, has_batch_stats=has_bn,
+        loss_fn=seg_cross_entropy if seg else cross_entropy,
+        prepare_fn=prepare)
     idx = np.random.RandomState(1).randint(0, len(xs), size=(steps, batch))
     _, metrics = run(state, jnp.asarray(idx), lr, jax.random.key(0))
     jl = np.asarray(metrics["loss"], np.float64)
@@ -270,13 +334,23 @@ def _train_both(model, variables, xs, ys, torch_forward, steps, batch, lr,
     # ---- torch side: reference-style loop (train_cls.py:103-157) ----
     params = [p for p in torch_leaves(tree)]
     opt = torch.optim.Adam(params, lr=lr, betas=(0.9, 0.999), eps=1e-8)
-    tx_all = torch.from_numpy(np.asarray(xs, np.float32))
+    x_host = np.asarray(xs, np.float32)
+    if cs is not None:
+        onehot = np.eye(n_cat, dtype=np.float32)[np.asarray(cs)]
+        onehot = np.broadcast_to(
+            onehot[:, None, :], x_host.shape[:-1] + (n_cat,))
+        x_host = np.concatenate([x_host, onehot], axis=-1)
+    tx_all = torch.from_numpy(x_host)
     ty_all = torch.from_numpy(np.asarray(ys)).long()
     tl, ta = [], []
     for s in range(steps):
         bx, by = tx_all[idx[s]], ty_all[idx[s]]
         logits = torch_forward(tree, bx)
-        loss = F.cross_entropy(logits, by)
+        if seg:
+            loss = F.cross_entropy(
+                logits.reshape(-1, logits.shape[-1]), by.reshape(-1))
+        else:
+            loss = F.cross_entropy(logits, by)
         opt.zero_grad()
         loss.backward()
         opt.step()
@@ -515,6 +589,38 @@ def run_lwf(steps=300, batch=16, lr=3e-4, seed=0, lam=0.1, img=32):
                 jax_acc=nan, torch_acc=np.array(ta))
 
 
+def run_partseg(steps=300, batch=16, lr=1e-3, seed=0, npoint=64, n_cat=4):
+    """Part segmentation: PointViT 3DViT_1_layer + one-hot category concat +
+    per-point CE — the /root/reference/train_partseg.py:160-171 loop shape
+    (via the production prepare_fn/seg_cross_entropy path the partseg CLI
+    uses). Completes the trajectory matrix across the seg task family."""
+    from simple3dformer_tpu.models.point_vit import PointViT
+
+    torch.manual_seed(0)
+    rng = np.random.RandomState(seed)
+    xs, cs, ys = make_catplane_seg(N_TRAIN, npoint, n_cat, rng)
+
+    _tiny = dict(patch_size=16, embed_dim=96, depth=3, num_heads=3,
+                 mlp_ratio=4.0, qkv_bias=True)
+    existing = vit_mod.BACKBONES.get("traj_tiny")
+    if existing is not None and existing != _tiny:
+        raise RuntimeError("BACKBONES['traj_tiny'] conflict")
+    vit_mod.BACKBONES["traj_tiny"] = _tiny
+
+    model = PointViT(variant="3DViT_1_layer", task="seg", num_point=npoint,
+                     num_class=2, input_dim=3 + n_cat, nneighbor=8,
+                     transformer_backbone="traj_tiny")
+    variables = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((2, npoint, 3 + n_cat)))
+
+    def fwd(tree, bx):
+        return t_point_vit_seg_forward(tree, bx, heads=3, depth=3,
+                                       num_point=npoint, nneighbor=8)
+
+    return _train_both(model, variables, xs, ys, fwd, steps, batch, lr,
+                       has_bn=True, cs=cs, n_cat=n_cat, seg=True)
+
+
 def run_hengshuang(steps=300, batch=16, lr=1e-3, seed=0, npoint=64):
     """Hengshuang cls at the learnability-test tiny config."""
     torch.manual_seed(0)
@@ -574,7 +680,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--model", default="both",
-                    choices=["voxel", "hengshuang", "lwf", "vip3d", "both"])
+                    choices=["voxel", "hengshuang", "lwf", "vip3d",
+                             "partseg", "both"])
     args = ap.parse_args()
     if args.model in ("voxel", "both"):
         txt, _ = summarize("flagship VoxelViT (tiny)", run_voxel(args.steps))
@@ -585,6 +692,10 @@ def main():
         print(txt)
     if args.model in ("vip3d", "both"):
         txt, _ = summarize("ViP-3D permutator (tiny)", run_vip3d(args.steps))
+        print(txt)
+    if args.model in ("partseg", "both"):
+        txt, _ = summarize("3DViT_1_layer partseg (tiny)",
+                           run_partseg(args.steps))
         print(txt)
     if args.model in ("lwf", "both"):
         r = run_lwf(args.steps)

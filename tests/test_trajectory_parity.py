@@ -63,6 +63,26 @@ def test_hengshuang_trajectory_tracks_torch():
 
 
 @pytest.mark.slow
+def test_partseg_trajectory_tracks_torch():
+    """3DViT_1_layer part segmentation (one-hot category concat via the
+    partseg CLI's prepare_fn + per-point CE): like Hengshuang, the FPS/kNN/BN
+    ops make the landscape piecewise — bit-level tracking holds for the first
+    ~15 steps (measured 3e-7 at step 9), then the trend must match (measured
+    last-50-window gap 0.66%, final accs 0.976 vs 0.977 at 150 steps)."""
+    r = tp.run_partseg(steps=150)
+    d = np.abs(r["jax_loss"][:10] - r["torch_loss"][:10])
+    assert d.max() < 1e-3, f"exactness window diverged: max |dloss|={d.max()}"
+    mj, mt = r["jax_loss"][-50:].mean(), r["torch_loss"][-50:].mean()
+    assert mj < 0.15 and mt < 0.15, f"failed to converge: {mj} vs {mt}"
+    assert abs(mj - mt) < 0.05, f"trend gap {mj} vs {mt}"
+    aj, at = r["jax_acc"][-50:].mean(), r["torch_acc"][-50:].mean()
+    assert abs(aj - at) < 0.1, f"train-acc gap {aj} vs {at}"
+    # both learned the category-conditioned labeling (chance = 0.5): the
+    # one-hot channels were actually consumed through prepare_fn
+    assert aj > 0.9 and at > 0.9
+
+
+@pytest.mark.slow
 def test_lwf_trajectory_tracks_torch():
     """The LwF two-term loss (task CE + lambda * distillation CE against a
     frozen teacher's argmax labels) tracks the torch mirror per term —
