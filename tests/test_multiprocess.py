@@ -124,3 +124,52 @@ def test_two_process_gloo_matches_single_process(tmp_path):
     # orbax: one manager dir, shards from both processes)
     ckpt_root = tmp_path / "mp" / "vip3d_s7" / "ckpt"
     assert ckpt_root.exists() and any(ckpt_root.iterdir())
+
+
+def test_two_process_zero1_and_dcn_match_replicated(tmp_path):
+    """ZeRO-1's reduce-scatter/all-gather and the DCN-mesh grad psum cross a
+    REAL process boundary (gloo) and still match the replicated dp-8 losses —
+    the single-process equivalences of tests/test_parallel.py, now with the
+    collectives actually leaving the process."""
+    import json
+
+    port = _free_port()
+    worker = os.path.join(REPO, "tests", "_mp_parallel_worker.py")
+    outs = [tmp_path / f"rank{r}.json" for r in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(outs[r])], env=_env(r, 2, port, 4),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO)
+        for r in range(2)
+    ]
+    for r, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"rank {r} timed out")
+        assert p.returncode == 0, f"rank {r} failed:\n{out[-4000:]}"
+
+    r0, r1 = (json.loads(o.read_text()) for o in outs)
+    assert r0["process_count"] == 2
+    # replicated losses: identical on both ranks
+    np.testing.assert_array_equal(r0["rep"], r1["rep"])
+    np.testing.assert_array_equal(r0["zero1"], r1["zero1"])
+    np.testing.assert_array_equal(r0["dcn"], r1["dcn"])
+    # layout changes only — same math within reduction-order noise
+    np.testing.assert_allclose(r0["rep"], r0["zero1"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(r0["rep"], r0["dcn"], rtol=1e-5, atol=1e-6)
+
+    # single-process 8-device ground truth
+    single_out = tmp_path / "single.json"
+    single = subprocess.run(
+        [sys.executable, worker, str(single_out)], env=_env(0, 1, port, 8),
+        capture_output=True, text=True, cwd=REPO, timeout=900)
+    assert single.returncode == 0, single.stdout[-4000:] + single.stderr[-2000:]
+    s = json.loads(single_out.read_text())
+    assert s["process_count"] == 1
+    np.testing.assert_allclose(r0["rep"], s["rep"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(r0["zero1"], s["zero1"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(r0["dcn"], s["dcn"], rtol=1e-5, atol=1e-6)
