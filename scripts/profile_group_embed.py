@@ -55,9 +55,11 @@ def main(dtype=jnp.float32, reps=6, parts=("components", "full")):
 
     emb = VoxelEmbedNoAverage(voxel_size=V, cell_size=CELL, patch_size=P,
                               embed_dim=D, dtype=dtype)
+    # group_pack=1: keep the components/full/ab_fused parts measuring the
+    # round-3 unpacked program (packing is A/B'd explicitly in --ab-pack)
     model = VoxelViT(voxel_embed=emb, n_classes=55,
                      transformer_backbone="deit_base_patch16_224",
-                     pos_embedding="group_embed", dtype=dtype)
+                     pos_embedding="group_embed", group_pack=1, dtype=dtype)
     # all big arrays are generated ON DEVICE: >100 MB host->device puts
     # through the tunnel take minutes and have been observed to wedge
     x = jax.jit(lambda k: jax.random.bernoulli(
@@ -219,6 +221,62 @@ def main(dtype=jnp.float32, reps=6, parts=("components", "full")):
             out["full"] = timeit("full train step (fwd+bwd+adam)", full_step,
                                  x, state, reps=max(4, reps // 2))
 
+    if "ab_pack" in parts:
+        # Block-diagonal pillar packing (models/voxel_vit.py group_pack):
+        # stage-1 isolation + interleaved full-step A/B. Packing is pure XLA
+        # (no pallas_call boundary), so unlike the fused-block kernel it
+        # keeps XLA's cross-component fusion — the round-3 failure mode.
+        from simple3dformer_tpu.models.voxel_vit import pack_factor
+
+        PK = pack_factor(NPILLAR, NSEQ)  # 8 at the recipe shape
+        print(f"pack factor {PK}: [{NPILLAR},{NSEQ}] -> "
+              f"[{NPILLAR // PK},{PK * NSEQ}]", flush=True)
+        pillars = jax.jit(lambda k: jax.random.normal(
+            k, (NPILLAR, NSEQ, D), jnp.float32))(jax.random.key(5))
+
+        def s1_fb_unpacked(t, cp):
+            return jax.grad(lambda tt: jnp.sum(
+                core.apply({"params": cp}, tt) ** 2))(t)
+
+        def s1_fb_packed(t, cp):
+            def loss(tt):
+                o = core.apply({"params": cp},
+                               tt.reshape(NPILLAR // PK, PK * NSEQ, D),
+                               seg_len=NSEQ)
+                return jnp.sum(o ** 2)
+            return jax.grad(loss)(t)
+
+        out["s1_unpacked"] = timeit("stage-1 core f/b unpacked",
+                                    s1_fb_unpacked, pillars, core_params,
+                                    reps=reps)
+        out["s1_packed"] = timeit(
+            f"stage-1 core f/b packed x{PK} (seg mask)", s1_fb_packed,
+            pillars, core_params, reps=reps)
+
+        emb_p = VoxelEmbedNoAverage(voxel_size=V, cell_size=CELL,
+                                    patch_size=P, embed_dim=D, dtype=dtype)
+        for trial in range(2):
+            for tag, gp in (("unpacked", 1), ("packed", 0)):
+                m = VoxelViT(voxel_embed=emb_p, n_classes=55,
+                             transformer_backbone="deit_base_patch16_224",
+                             pos_embedding="group_embed", group_pack=gp,
+                             dtype=dtype)
+                tx2 = make_optimizer("Adam")
+                st2 = create_train_state(params, tx2)
+                stp = make_train_step(m, tx2, donate=False)
+
+                def full2(xx, st, _stp=stp):
+                    new_state, mm = _stp(st, {"x": xx, "y": y}, 1e-3,
+                                         jax.random.key(0))
+                    fp = jnp.stack([l.reshape(-1)[0] for l in
+                                    jax.tree_util.tree_leaves(
+                                        new_state.params)])
+                    return mm["loss"][None] + jnp.sum(fp)[None] * 1e-20
+
+                out[f"full_{tag}_{trial}"] = timeit(
+                    f"[{trial}] full train step, {tag}", full2, x, st2,
+                    reps=max(4, reps // 2))
+
     if "ab_fused" in parts:
         # full-step A/B of the fused ViT-block kernel at THIS workload's
         # stage-1 shape (3136 seqs x 15 tokens), interleaved A/B/A/B.
@@ -258,4 +316,6 @@ if __name__ == "__main__":
         kw["parts"] = ("full",)
     if "--ab-fused" in sys.argv:
         kw["parts"] = ("ab_fused",)
+    if "--ab-pack" in sys.argv:
+        kw["parts"] = ("ab_pack",)
     main(**kw)

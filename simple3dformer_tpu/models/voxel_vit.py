@@ -50,13 +50,18 @@ class PostNormEncoderLayer(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True,
+                 seg_len: Optional[int] = None):
         B, N, C = x.shape
         H = self.num_heads
         hd = C // H
         qkv = dense(3 * C, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.moveaxis(qkv.reshape(B, N, 3, H, hd), 2, 0)
         scores = jnp.einsum("bnhd,bmhd->bhnm", q * (hd ** -0.5), k)
+        if seg_len is not None and 0 < seg_len < N:
+            # block-diagonal packing mask (see nn.layers.Attention)
+            seg = jnp.arange(N) // seg_len
+            scores = jnp.where(seg[:, None] == seg[None, :], scores, -jnp.inf)
         probs = nn.softmax(scores, axis=-1)
         probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
         out = jnp.einsum("bhnm,bmhd->bnhd", probs, v).reshape(B, N, C)
@@ -74,8 +79,38 @@ class PostNormEncoderLayer(nn.Module):
         return x
 
 
+def pack_factor(n_seq: int, seg_len: int, target: int = 128) -> int:
+    """How many length-`seg_len` sequences to pack per attention row.
+
+    Largest P with P*seg_len <= target and P | n_seq. target=128 fills one
+    MXU tile side: packed attention matmuls/softmaxes run at ~(P*S/128)^2
+    tile utilization instead of (S/128)^2, and total attention FLOPs grow
+    only linearly in P — so P*S just under 128 is the sweet spot.
+    """
+    if seg_len <= 0 or n_seq <= 1:
+        return 1
+    for p in range(min(n_seq, max(1, target // seg_len)), 1, -1):
+        if n_seq % p == 0:
+            return p
+    return 1
+
+
 class VoxelViT(nn.Module):
-    """DeiT backbone + 3D voxel tokenizer + 3D head (+ frozen 2D pathway)."""
+    """DeiT backbone + 3D voxel tokenizer + 3D head (+ frozen 2D pathway).
+
+    ``group_pack`` controls block-diagonal sequence packing of the
+    group_embed stage-1 pass (the reference runs the full backbone over
+    B*px*py z-pillar sequences of patch_size+1 tokens,
+    vit_3d_2d_pretrain.py:472-481 — e.g. 3,136 sequences of 15 tokens at the
+    ShapeNetV2 recipe). Packing concatenates P pillars per attention row with
+    a within-pillar mask: mathematically exact (masked softmax; LN/MLP are
+    per-token), pure XLA (keeps fusion), and turns the degenerate [15,15]
+    attention matmuls into MXU-tile-filling [120,120] ones. 0 = auto (pack
+    when it helps and shapes divide), 1 = off, >=2 = that factor (must divide
+    the pillar count). Auto turns itself off under attention-rollout capture
+    (mutable 'intermediates' — sown attention must stay per-pillar-shaped)
+    and honors S3F_PACK=0. Verdict + measurements: BASELINE.md round-3.
+    """
 
     voxel_embed: Any  # a module from nn.voxel_embed
     n_classes: int = 10
@@ -84,6 +119,7 @@ class VoxelViT(nn.Module):
     head: str = "default"  # or "AMSoftmax"
     img_size: int = 224
     scan_blocks: bool = False  # see nn.vit.ViTCore
+    group_pack: int = 0
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -143,6 +179,22 @@ class VoxelViT(nn.Module):
             )
 
     # -- helpers ---------------------------------------------------------
+    def _resolve_pack(self, setting: int, n_seq: int, seg_len: int) -> int:
+        """Resolve a packing factor (static): 0 auto / 1 off / >=2 forced."""
+        import os
+
+        if setting == 1:
+            return 1
+        if os.environ.get("S3F_PACK", "") in ("0", "false", "False"):
+            return 1
+        # rollout capture sows per-sequence attention maps; packed shapes
+        # would break utils/attention_rollout's get_mask math
+        if self.is_mutable_collection("intermediates"):
+            return 1
+        if setting >= 2:
+            return setting if n_seq % setting == 0 else 1
+        return pack_factor(n_seq, seg_len)
+
     def _with_cls(self, tokens, cls_param):
         cls = jnp.broadcast_to(
             cls_param.astype(tokens.dtype), (tokens.shape[0], 1, tokens.shape[-1])
@@ -170,8 +222,18 @@ class VoxelViT(nn.Module):
             pillars = tok.reshape(B * px * py, pz, D)
             pillars = self._with_cls(pillars, self.group_cls_token)
             pillars = pillars + self.group_pos_embed.astype(pillars.dtype)
-            pillars = self.group_embed(pillars, deterministic=deterministic)
-            pillars = self.core(pillars, deterministic=deterministic)
+            n_seq, S = B * px * py, pz + 1
+            P = self._resolve_pack(self.group_pack, n_seq, S)
+            if P > 1:
+                pillars = pillars.reshape(n_seq // P, P * S, D)
+                pillars = self.group_embed(
+                    pillars, deterministic=deterministic, seg_len=S)
+                pillars = self.core(
+                    pillars, deterministic=deterministic, seg_len=S)
+                pillars = pillars.reshape(n_seq, S, D)
+            else:
+                pillars = self.group_embed(pillars, deterministic=deterministic)
+                pillars = self.core(pillars, deterministic=deterministic)
             pillar_feat = pillars[:, 0].reshape(B, px * py, D)
             # Stage 2: global pass over the pillar grid (backbone runs again,
             # exactly as the reference does, vit_3d_2d_pretrain.py:481-496).

@@ -130,13 +130,23 @@ class Attention(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True,
+                 seg_len: Optional[int] = None):
         from ..ops import pointops
 
         B, N, C = x.shape
         H = self.num_heads
         head_dim = C // H
         scale = head_dim ** -0.5
+
+        # seg_len: block-diagonal sequence packing (static). When several
+        # short sequences of length seg_len are concatenated into one row,
+        # masking attention to within-segment makes the packed pass exactly
+        # equal to the per-sequence pass (LayerNorm/MLP are per-token) while
+        # the attention matmuls run at MXU-tile-filling sizes instead of
+        # degenerate [seg_len, seg_len] ones. See models/voxel_vit.py
+        # group_embed (the [3136, 15]-token stage-1) for the motivating shape.
+        packed = seg_len is not None and 0 < seg_len < N
 
         qkv = dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, H, head_dim)
@@ -147,7 +157,8 @@ class Attention(nn.Module):
         det_static = isinstance(deterministic, bool) and deterministic
         plain_ok = ((self.attn_drop == 0.0 or det_static)
                     and not self.is_mutable_collection("intermediates")
-                    and head_dim % 64 == 0)
+                    and head_dim % 64 == 0
+                    and not packed)  # kernels don't take the segment mask
         use_flash = USE_FLASH
         if use_flash is None:
             use_flash = bool(pointops._env_switch("S3F_FLASH")) and \
@@ -166,6 +177,10 @@ class Attention(nn.Module):
             out = mhsa(q, k, v, scale).reshape(B, N, C)
         else:
             attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+            if packed:
+                seg = jnp.arange(N) // seg_len
+                same = seg[:, None] == seg[None, :]
+                attn = jnp.where(same, attn, -jnp.inf)
             attn = jax.nn.softmax(attn, axis=-1)
             # exposed for attention-rollout visualization (the reference's
             # forward hooks on blk.attn, visualize_attention_map_voxel.py:144);
@@ -241,7 +256,8 @@ class Block(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True,
+                 seg_len: Optional[int] = None):
         from ..ops import pointops
 
         dim = x.shape[-1]
@@ -280,6 +296,9 @@ class Block(nn.Module):
             and (det_static or (self.drop == 0.0 and self.attn_drop == 0.0
                                 and self.drop_path == 0.0))
             and not self.is_mutable_collection("intermediates")
+            # the fused kernel has no segment-mask input; packed sequences
+            # must take the flax path (Attention applies the mask there)
+            and seg_len is None
         )
         if use_fused:
             from ..kernels.vit_block import (fused_vit_block,
@@ -297,7 +316,7 @@ class Block(nn.Module):
             proj_drop=self.drop,
             dtype=self.dtype,
             name="attn",
-        )(h, deterministic=deterministic)
+        )(h, deterministic=deterministic, seg_len=seg_len)
         x = x + DropPath(self.drop_path)(h, deterministic=deterministic)
 
         h = nn.LayerNorm(epsilon=self.norm_eps, name="norm2")(x)

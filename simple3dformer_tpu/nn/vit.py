@@ -86,6 +86,7 @@ class _BlockStep(nn.Module):
     drop_path: float
     deterministic: bool
     dtype: Optional[jnp.dtype]
+    seg_len: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, _):
@@ -98,7 +99,7 @@ class _BlockStep(nn.Module):
             drop_path=self.drop_path,
             dtype=self.dtype,
             name="block",
-        )(x, deterministic=self.deterministic)
+        )(x, deterministic=self.deterministic, seg_len=self.seg_len)
         return x, None
 
 
@@ -126,7 +127,15 @@ class ViTCore(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True,
+                 seg_len: Optional[int] = None):
+        # seg_len packs several length-seg_len sequences per row with
+        # block-diagonal attention (see nn.layers.Attention) — exact math.
+        # DropPath would drop a whole packed row (= seg-many sequences), so
+        # packing is only valid at drop_path 0; callers gate on that.
+        if seg_len is not None and self.drop_path > 0.0:
+            raise ValueError("seg_len packing requires drop_path == 0 "
+                             "(stochastic depth is per-sample)")
         if self.scan_blocks:
             scanned = nn.scan(
                 _BlockStep,
@@ -142,6 +151,7 @@ class ViTCore(nn.Module):
                 drop_path=self.drop_path,
                 deterministic=deterministic,
                 dtype=self.dtype,
+                seg_len=seg_len,
                 name="scan",
             )
             x, _ = scanned(x, None)
@@ -156,7 +166,7 @@ class ViTCore(nn.Module):
                     drop_path=self.drop_path,
                     dtype=self.dtype,
                     name=f"blocks_{i}",
-                )(x, deterministic=deterministic)
+                )(x, deterministic=deterministic, seg_len=seg_len)
         return nn.LayerNorm(epsilon=1e-6, name="norm")(x)
 
 

@@ -72,6 +72,21 @@ def test_train_pure_mlp_cli(tmp_path):
     assert 0.0 <= acc <= 1.0
 
 
+def test_train_cls_voxel_cli_group_embed(tmp_path):
+    """The group_embed route end to end through the CLI — this is the path
+    that auto-packs pillar sequences (models/voxel_vit.py group_pack): at
+    batch 8 / patch 5 the stage-1 pass runs 200 pillars of 6 tokens, which
+    the auto policy packs x20 into [10, 120] block-diagonal rows."""
+    acc = train_cls_voxel.main([
+        "--dataset", "ModelNet40", "--synthetic", "32", "--batchSize", "8",
+        "--epochs", "1", "--transformer-name", "deit_tiny_patch16_224",
+        "--embed-layer", "VoxelEmbed_no_average", "--cell-size", "6",
+        "--patch-size", "5", "--pos-embedding", "group_embed",
+        "--lr", "1e-3", "--outf", str(tmp_path),
+    ])
+    assert 0.0 <= acc <= 1.0
+
+
 def test_train_cls_voxel_cli_lwf(tmp_path):
     """The --lwf branch (teacher + joint loss + image canvas) must run
     end-to-end; regression for the _ImgCfg.get breakage (2026-08-17)."""
