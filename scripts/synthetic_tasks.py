@@ -35,6 +35,56 @@ def make_shape_voxels(n, rng):
     return xs, ys
 
 
+def make_hard_shape_voxels(n, rng, noise=0.06):
+    """8-class voxel task that does NOT saturate at 100% test accuracy.
+
+    Used by the accuracy-parity harness (scripts/accuracy_parity.py): classes
+    share geometry families (solid vs hollow sphere, one vs two spheres,
+    slab pair vs slab triple, axis cross vs diagonal bar, corner cluster) and
+    every grid gets `noise` fraction of its bits flipped, so a converged
+    model lands in the 90s — a regime where a real framework-behavior gap
+    would move the number, unlike a both-sides-100.0 comparison."""
+    xs = np.zeros((n, V, V, V), np.uint8)
+    ys = rng.randint(0, 8, size=n).astype(np.int32)
+    g = np.stack(np.meshgrid(*[np.arange(V)] * 3, indexing="ij"), -1)
+    for i, c in enumerate(ys):
+        center = rng.randint(5, 11, size=3)
+        r = rng.randint(3, 6)
+        d2 = ((g - center) ** 2).sum(-1)
+        if c == 0:  # solid sphere
+            m = d2 <= r ** 2
+        elif c == 1:  # hollow sphere (shell)
+            m = (d2 <= r ** 2) & (d2 > (r - 2) ** 2)
+        elif c == 2:  # two spheres
+            c2 = (center + rng.randint(4, 7, size=3)) % V
+            m = (d2 <= (r - 1) ** 2) | (((g - c2) ** 2).sum(-1) <= (r - 1) ** 2)
+        elif c == 3:  # two parallel x-slabs
+            m = (np.abs(g[..., 0] - center[0]) <= 1) | (
+                np.abs(g[..., 0] - (center[0] + 5) % V) <= 1)
+        elif c == 4:  # three parallel x-slabs
+            m = ((np.abs(g[..., 0] - center[0]) <= 0)
+                 | (np.abs(g[..., 0] - (center[0] + 4) % V) <= 0)
+                 | (np.abs(g[..., 0] - (center[0] + 8) % V) <= 0))
+        elif c == 5:  # axis cross
+            d = np.abs(g - center)
+            m = ((d[..., 0] <= 1) & (d[..., 1] <= 1)) | \
+                ((d[..., 1] <= 1) & (d[..., 2] <= 1)) | \
+                ((d[..., 0] <= 1) & (d[..., 2] <= 1))
+        elif c == 6:  # diagonal bar
+            t = np.arange(V)
+            m = np.zeros((V, V, V), bool)
+            off = rng.randint(-2, 3, size=2)
+            m[t, np.clip(t + off[0], 0, V - 1), np.clip(t + off[1], 0, V - 1)] = True
+            m = m | np.roll(m, 1, axis=1) | np.roll(m, 1, axis=2)
+        else:  # corner cluster
+            corner = rng.randint(0, 2, size=3) * (V - 5)
+            d = np.abs(g - (corner + 2))
+            m = d.max(-1) <= 2
+        flip = rng.rand(V, V, V) < noise
+        xs[i] = np.where(flip, 1 - m.astype(np.uint8), m.astype(np.uint8))
+    return xs, ys
+
+
 def make_catplane_seg(n, npoint, n_cat, rng):
     """Per-point 2-class task conditioned on a shape category (partseg-style).
 
