@@ -19,12 +19,17 @@ Voxel track (strongest form — identical initial weights):
     learning rates; the only remaining differences are framework-internal
     (XLA vs eager kernels, tanh- vs erf-GELU, reduction orders).
 
-Point tracks (Hengshuang cls / 3DViT_1_layer partseg) train from each
-framework's own init instead: FPS/kNN/BN make the landscape piecewise, so
-init-identical runs diverge by design (BASELINE.md round-3 trajectory
-section); converged-accuracy comparison is the meaningful statement there.
+Point track (Hengshuang cls, --track point): also identical initial weights
+(refbridge.export_hengshuang_state_dict, 1:1 correspondence pinned in
+tests/test_reference_parity.py) and identical batch order, with the
+reference's train_cls.py:82-125 semantics (Adam + StepLR(50, 0.3), CE,
+instance-accuracy eval). Trajectories diverge by design — the reference's
+FPS start is torch.randint per forward (pointnet_util.py:65) while the
+production scanned step runs FPS from index 0, and BN running stats use
+torch's unbiased vs flax's biased variance — so the statement is the
+converged-accuracy one, from a shared init.
 
-Run:  python scripts/accuracy_parity.py [--track voxel] [--epochs 15]
+Run:  python scripts/accuracy_parity.py [--track voxel|point] [--epochs 15]
 CPU-only; ~10-15 min per full-depth voxel run. Results recorded in
 BASELINE.md ("Accuracy parity" section); scaled-down versions run in
 tests/test_reference_parity.py.
@@ -183,9 +188,103 @@ def run_voxel(epochs=15, batch=32, lr=1e-3, n_train=2048, n_test=2048,
     return out
 
 
+def run_point(epochs=12, batch=32, lr=1e-3, n_train=1536, n_test=1024,
+              seed=0, npoint=96, nblocks=2, nneighbor=8, tdim=64,
+              n_classes=6, noise=0.04, lr_step=50, lr_gamma=0.3):
+    """Hengshuang cls: identical init + batches, reference train_cls.py
+    semantics on the torch side (its actual models/Hengshuang code)."""
+    from simple3dformer_tpu.models.hengshuang import PointTransformerCls
+
+    ref_mod = refbridge.load_reference_module("models.Hengshuang.model")
+
+    rng = np.random.RandomState(seed)
+    xs, ys = synthetic_tasks.make_hard_shape_points(n_train, npoint, rng,
+                                                    noise=noise)
+    xt, yt = synthetic_tasks.make_hard_shape_points(n_test, npoint, rng,
+                                                    noise=noise)
+
+    model = PointTransformerCls(num_point=npoint, num_class=n_classes,
+                                input_dim=3, nblocks=nblocks,
+                                nneighbor=nneighbor, transformer_dim=tdim)
+    variables = jax.jit(model.init)(jax.random.key(seed),
+                                    jnp.zeros((2, npoint, 3)))
+    params_np = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    cfg = refbridge.make_point_cfg(npoint, n_classes, 3, nblocks=nblocks,
+                                   nneighbor=nneighbor, transformer_dim=tdim)
+    torch.manual_seed(seed)
+    ref_model = ref_mod.PointTransformerCls(cfg)
+    missing, unexpected = ref_model.load_state_dict(
+        refbridge.export_hengshuang_state_dict(
+            params_np, nblocks, variables.get("batch_stats")), strict=False)
+    assert not missing and not unexpected, (missing, unexpected)
+
+    steps_per_epoch = n_train // batch
+    order_rng = np.random.RandomState(seed + 1)
+    epoch_idx = [
+        order_rng.permutation(n_train)[: steps_per_epoch * batch]
+        .reshape(steps_per_epoch, batch)
+        for _ in range(epochs)
+    ]
+    lrs = [epoch_lr(lr, e, lr_step, lr_gamma) for e in range(epochs)]
+
+    # ---- jax production loop ----
+    tx = make_optimizer("Adam")
+    state = create_train_state(variables["params"], tx,
+                               variables.get("batch_stats"))
+    ds = DeviceResidentDataset({"x": jnp.asarray(xs, jnp.float32),
+                                "y": jnp.asarray(ys)})
+    run = make_scanned_train_steps(model, tx, ds, has_batch_stats=True)
+    test_ds = DeviceResidentDataset({"x": jnp.asarray(xt, jnp.float32),
+                                     "y": jnp.asarray(yt)})
+    evaluate = make_scanned_eval(model, test_ds, has_batch_stats=True)
+    eval_idx = jnp.asarray(np.arange(n_test).reshape(-1, 64))
+
+    jax_oa, t0 = [], time.time()
+    for e in range(epochs):
+        state, _ = run(state, jnp.asarray(epoch_idx[e]), lrs[e],
+                       jax.random.key(e))
+        jax_oa.append(_jax_accuracy(evaluate(state, eval_idx), yt))
+        print(f"[jax]   epoch {e:2d} lr {lrs[e]:.2e} OA {jax_oa[-1]:.4f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
+    # ---- reference loop (train_cls.py:103-157 semantics) ----
+    opt = torch.optim.Adam(ref_model.parameters(), lr=lrs[0],
+                           betas=(0.9, 0.999), eps=1e-8)
+    tx_all = torch.from_numpy(xs.astype(np.float32))
+    ty_all = torch.from_numpy(ys.astype(np.int64))
+    tt_all = torch.from_numpy(xt.astype(np.float32))
+    ref_oa = []
+    for e in range(epochs):
+        for g in opt.param_groups:
+            g["lr"] = lrs[e]
+        ref_model.train()
+        for s in range(steps_per_epoch):
+            bi = epoch_idx[e][s]
+            loss = F.cross_entropy(ref_model(tx_all[bi]), ty_all[bi])
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+        ref_model.eval()
+        preds = []
+        with torch.no_grad():
+            for i in range(0, n_test, 64):
+                preds.append(ref_model(tt_all[i:i + 64]).argmax(-1).numpy())
+        ref_oa.append(float((np.concatenate(preds) == yt).mean()))
+        print(f"[torch] epoch {e:2d} lr {lrs[e]:.2e} OA {ref_oa[-1]:.4f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
+    out = dict(jax_oa=np.array(jax_oa), ref_oa=np.array(ref_oa),
+               best_jax=max(jax_oa), best_ref=max(ref_oa),
+               gap_pts=abs(max(jax_oa) - max(ref_oa)) * 100.0)
+    print(f"\nbest OA ours {out['best_jax']:.4f} vs reference-code "
+          f"{out['best_ref']:.4f}  |gap| = {out['gap_pts']:.2f} pts")
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--track", default="voxel", choices=["voxel"])
+    ap.add_argument("--track", default="voxel", choices=["voxel", "point"])
     ap.add_argument("--epochs", type=int, default=15)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--n-train", type=int, default=2048)
@@ -196,6 +295,8 @@ def main():
     if args.track == "voxel":
         run_voxel(epochs=args.epochs, batch=args.batch, n_train=args.n_train,
                   n_test=args.n_test, seed=args.seed, backbone=args.backbone)
+    else:
+        run_point(epochs=args.epochs, batch=args.batch, seed=args.seed)
 
 
 if __name__ == "__main__":

@@ -105,6 +105,49 @@ def make_catplane_seg(n, npoint, n_cat, rng):
     return xs, cs, ys
 
 
+def make_hard_shape_points(n, npoint, rng, noise=0.04):
+    """6-class point-cloud task that does not saturate at 100% test accuracy
+    (point analogue of make_hard_shape_voxels): classes share geometry
+    families — full vs half sphere surface, cube surface vs two clusters,
+    one vs three noisy lines — and every cloud gets gaussian jitter."""
+    xs = np.zeros((n, npoint, 3), np.float32)
+    ys = rng.randint(0, 6, size=n).astype(np.int32)
+    for i, c in enumerate(ys):
+        if c == 0:  # sphere surface
+            v = rng.randn(npoint, 3)
+            xs[i] = v / np.linalg.norm(v, axis=1, keepdims=True)
+        elif c == 1:  # hemisphere surface (random orientation)
+            v = rng.randn(npoint, 3)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            axis = rng.randn(3)
+            axis /= np.linalg.norm(axis)
+            flip = (v @ axis) < 0
+            xs[i] = np.where(flip[:, None], v - 2 * (v @ axis)[:, None] * axis, v)
+        elif c == 2:  # cube surface
+            v = rng.uniform(-1, 1, (npoint, 3))
+            ax = rng.randint(0, 3, npoint)
+            v[np.arange(npoint), ax] = np.sign(v[np.arange(npoint), ax])
+            xs[i] = v
+        elif c == 3:  # two gaussian clusters
+            c1, c2 = rng.uniform(-0.7, 0.7, (2, 3))
+            half = npoint // 2
+            xs[i, :half] = c1 + rng.randn(half, 3) * 0.22
+            xs[i, half:] = c2 + rng.randn(npoint - half, 3) * 0.22
+        elif c == 4:  # one noisy line
+            d = rng.randn(3)
+            d /= np.linalg.norm(d)
+            t = rng.uniform(-1, 1, (npoint, 1))
+            xs[i] = t * d
+        else:  # three noisy lines through the origin
+            ds = rng.randn(3, 3)
+            ds /= np.linalg.norm(ds, axis=1, keepdims=True)
+            which = rng.randint(0, 3, npoint)
+            t = rng.uniform(-1, 1, (npoint, 1))
+            xs[i] = t * ds[which]
+        xs[i] += rng.randn(npoint, 3).astype(np.float32) * noise
+    return xs, ys
+
+
 def make_shape_points(n, npoint, rng):
     """3 classes of point clouds: sphere surface, cube surface, noisy line."""
     xs = np.zeros((n, npoint, 3), np.float32)

@@ -400,7 +400,8 @@ def t_permute_mlp(p, x, seg):
 
     h = x.reshape(B, H, W, Z, seg, S).permute(0, 4, 3, 2, 1, 5)
     h = lin("mlp_h", h.reshape(B, seg, Z, W, H * S))
-    h = h.reshape(B, seg, Z, W, H, T).permute(0, 4, 3, 2, 1, 5)
+    # reference's exact restore (vip_3d.py:71): W/Z-swapped, not the inverse
+    h = h.reshape(B, seg, Z, W, H, T).permute(0, 4, 2, 3, 1, 5)
     h = h.reshape(B, H, W, Z, C)
     w = x.reshape(B, H, W, Z, seg, S).permute(0, 1, 4, 3, 2, 5)
     w = lin("mlp_w", w.reshape(B, H, seg, Z, W * S))

@@ -8,6 +8,13 @@ positional conv (PosCNN) after the first block of each stage; mean-pool head.
 Reference quirks mirrored on purpose:
   * the Z-axis mix reuses mlp_w — mlp_z exists but is never called
     (vip_3d.py:76). We replicate (and do not create the dead mlp_z params).
+  * the H-mix un-permute is NOT the inverse of its forward permute: the
+    reference restores with permute(0, 4, 2, 3, 1, 5) (vip_3d.py:71) where
+    the true inverse is (0, 4, 3, 2, 1, 5) — the h-branch output lands with
+    its W and Z axes swapped (silent because W == Z in size; the w/z
+    branches use proper involutions). Mirrored for exact checkpoint/forward
+    parity — verified against the reference's own code in
+    tests/test_reference_parity.py.
   * the axis-mix reshape chain assumes a cubic token grid (H == W == Z) and
     H * (C // segment_dim) == C, i.e. H == segment_dim at each stage
     (true for every published vip3d_* config).
@@ -49,7 +56,9 @@ class WeightedPermuteMLP(nn.Module):
 
         h = x.reshape(B, H, W, Z, seg, S).transpose(0, 4, 3, 2, 1, 5)
         h = mlp_h(h.reshape(B, seg, Z, W, H * S))
-        h = h.reshape(B, seg, Z, W, H, T).transpose(0, 4, 3, 2, 1, 5)
+        # (0,4,2,3,1,5), not the true inverse (0,4,3,2,1,5): the reference's
+        # W/Z-swapped h-branch restore (vip_3d.py:71) — see module docstring.
+        h = h.reshape(B, seg, Z, W, H, T).transpose(0, 4, 2, 3, 1, 5)
         h = h.reshape(B, H, W, Z, C)
 
         w = x.reshape(B, H, W, Z, seg, S).transpose(0, 1, 4, 3, 2, 5)

@@ -1,13 +1,27 @@
 """Parity against the REFERENCE'S OWN model code (imported from
 /root/reference via scripts/refbridge — never copied).
 
-Forward parity: our flax VoxelViT and the reference Feature3D_ViT2D_V2
-(vit_3d_2d_pretrain.py:275-526, with the timm symbols it imports provided by
-refbridge's timm-0.3.2-semantics shim) produce the same logits from the same
-weights, on both the voxel route and the frozen-2D image route. Residual
-tolerance is dominated by tanh-GELU (flax nn.gelu) vs erf-GELU (timm):
-measured max|diff| ~4e-5 (voxel) / ~9e-5 (image) at unit-scale logits over
-a 12-deep backbone.
+Forward parity: our flax models and the reference's torch classes (with the
+timm symbols they import provided by refbridge's timm-0.3.2-semantics shim)
+produce the same outputs from the same weights. Covered model families:
+
+  * VoxelViT vs Feature3D_ViT2D_V2 (vit_3d_2d_pretrain.py:275-526), voxel +
+    frozen-2D image routes. Residual tolerance is dominated by tanh-GELU
+    (flax nn.gelu) vs erf-GELU (timm): measured max|diff| ~4e-5 (voxel) /
+    ~9e-5 (image) at unit-scale logits over a 12-deep backbone.
+  * Hengshuang PointTransformerCls/Seg (models/Hengshuang/model.py) —
+    GELU-free, so near-bit-exact (measured rel ~1e-6). FPS start is pinned
+    to index 0 on both sides (refbridge.pinned_fps_start).
+  * 3DViT family: plain 3DViT cls + 3DViT_1_layer seg incl. the LwF
+    forward_images route (models/3DViT{,_1_layer}/model.py).
+  * ViP-3D VisionPermutator3D (models/vip_3d.py), with and without the PEG
+    PosCNN — including the reference's W/Z-swapped h-branch restore quirk
+    (vip_3d.py:71), which this very harness surfaced: the hand-written
+    mirrors had silently normalized it to the true inverse permute.
+
+Every load asserts a 1:1 state-dict correspondence (reference params that
+are dead in its forward — SA last_pos_embed, ViP mlp_z, plain-3DViT
+pos_embed/PointEmbed — are zero-filled by the exporters, documented there).
 
 Accuracy parity: scaled-down version of scripts/accuracy_parity.py — both
 frameworks train from identical weights on identical batches and converge
@@ -24,9 +38,15 @@ import torch
 import jax
 import jax.numpy as jnp
 
+from simple3dformer_tpu.models.hengshuang import (
+    PointTransformerCls as HengCls,
+    PointTransformerSeg as HengSeg,
+)
+from simple3dformer_tpu.models.point_vit import PointViT
+from simple3dformer_tpu.models.vip3d import VisionPermutator3D
 from simple3dformer_tpu.models.voxel_vit import VoxelViT
 from simple3dformer_tpu.nn import vit as vit_mod
-from simple3dformer_tpu.nn.voxel_embed import VoxelEmbed
+from simple3dformer_tpu.nn.voxel_embed import VoxelEmbed, VoxelEmbedNoAverage
 
 _SCRIPTS = pathlib.Path(__file__).resolve().parent.parent / "scripts"
 
@@ -116,6 +136,172 @@ def test_reference_no_embed_route_is_broken_as_documented():
     with pytest.raises(AttributeError):
         with torch.no_grad():
             m(torch.zeros(1, 1, V, V, V))
+
+
+def _fatten(variables, factor=8.0):
+    """Scale matrix-shaped params up so logits leave the degenerate
+    near-zero init regime (trunc_normal 0.02 stacks to ~1e-5-scale outputs,
+    where parity asserts would be vacuous)."""
+    out = dict(variables)
+    out["params"] = jax.tree_util.tree_map(
+        lambda a: a * (factor if a.ndim >= 2 else 1.0), variables["params"])
+    return out
+
+
+N_PT, NBLK, NNB, TDIM = 64, 2, 8, 64
+
+
+def test_hengshuang_cls_matches_reference_code(rng):
+    model = HengCls(num_point=N_PT, num_class=13, input_dim=6,
+                    nblocks=NBLK, nneighbor=NNB, transformer_dim=TDIM)
+    x = rng.randn(2, N_PT, 6).astype(np.float32)
+    variables = _fatten(model.init(jax.random.key(0), jnp.asarray(x)))
+    params_np = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    ref_mod = refbridge.load_reference_module("models.Hengshuang.model")
+    cfg = refbridge.make_point_cfg(N_PT, 13, 6, nblocks=NBLK, nneighbor=NNB,
+                                   transformer_dim=TDIM)
+    torch.manual_seed(0)
+    ref = ref_mod.PointTransformerCls(cfg)
+    missing, unexpected = ref.load_state_dict(
+        refbridge.export_hengshuang_state_dict(
+            params_np, NBLK, variables.get("batch_stats")), strict=False)
+    assert not missing and not unexpected, (missing, unexpected)
+    ref.eval()
+    with refbridge.pinned_fps_start(), torch.no_grad():
+        out_ref = ref(torch.from_numpy(x)).numpy()
+    out_ours = np.asarray(model.apply(variables, jnp.asarray(x)))
+    # GELU-free model: near-bit-exact (measured rel ~4e-7 at logit scale ~5)
+    np.testing.assert_allclose(out_ours, out_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_hengshuang_seg_matches_reference_code(rng):
+    model = HengSeg(num_point=N_PT, num_class=50, input_dim=22,
+                    nblocks=NBLK, nneighbor=NNB, transformer_dim=TDIM)
+    x = rng.randn(2, N_PT, 22).astype(np.float32)
+    variables = _fatten(model.init(jax.random.key(1), jnp.asarray(x)))
+    params_np = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    ref_mod = refbridge.load_reference_module("models.Hengshuang.model")
+    cfg = refbridge.make_point_cfg(N_PT, 50, 22, nblocks=NBLK, nneighbor=NNB,
+                                   transformer_dim=TDIM)
+    torch.manual_seed(0)
+    ref = ref_mod.PointTransformerSeg(cfg)
+    missing, unexpected = ref.load_state_dict(
+        refbridge.export_hengshuang_state_dict(
+            params_np, NBLK, variables.get("batch_stats"), seg=True),
+        strict=False)
+    assert not missing and not unexpected, (missing, unexpected)
+    ref.eval()
+    with refbridge.pinned_fps_start(), torch.no_grad():
+        out_ref = ref(torch.from_numpy(x)).numpy()
+    out_ours = np.asarray(model.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(out_ours, out_ref, rtol=1e-4,
+                               atol=1e-4 * max(1.0, np.abs(out_ref).max()))
+
+
+def test_pointvit_3dvit_cls_matches_reference_code(rng):
+    model = PointViT(variant="3DViT", task="cls", num_point=N_PT,
+                     num_class=13, input_dim=6, nneighbor=NNB,
+                     transformer_backbone="deit_tiny_patch16_224")
+    x = rng.randn(2, N_PT, 6).astype(np.float32)
+    variables = _fatten(model.init(jax.random.key(0), jnp.asarray(x)))
+    params_np = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    ref_mod = refbridge.load_reference_module("models.3DViT.model")
+    cfg = refbridge.make_point_cfg(
+        N_PT, 13, 6, nblocks=4, nneighbor=NNB,
+        transformer_backbone="deit_tiny_patch16_224", pretrained=False,
+        head="Linear")
+    torch.manual_seed(0)
+    ref = ref_mod.PointTransformerCls(cfg)
+    missing, unexpected = ref.load_state_dict(
+        refbridge.export_pointvit_state_dict(
+            params_np, 6, variables.get("batch_stats")), strict=False)
+    assert not missing and not unexpected, (missing, unexpected)
+    ref.eval()
+    with refbridge.pinned_fps_start(), torch.no_grad():
+        out_ref = ref(torch.from_numpy(x)).numpy()
+    out_ours = np.asarray(model.apply(variables, jnp.asarray(x)))
+    # 12-deep erf-vs-tanh GELU backbone at 8x-fattened weights: measured
+    # max|diff| ~9e-4 at logit scale ~5.6
+    np.testing.assert_allclose(out_ours, out_ref, rtol=1e-3, atol=3e-3)
+
+
+def test_pointvit_1layer_seg_and_images_match_reference_code(rng):
+    model = PointViT(variant="3DViT_1_layer", task="seg", num_point=N_PT,
+                     num_class=50, input_dim=22, nneighbor=NNB,
+                     transformer_backbone="deit_tiny_patch16_224")
+    x = rng.randn(2, N_PT, 22).astype(np.float32)
+    img = (rng.randn(1, 224, 224, 3) * 0.5).astype(np.float32)
+    variables = _fatten(model.init(jax.random.key(1), jnp.asarray(x),
+                                   jnp.asarray(img), method=model.init_all))
+    params_np = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    ref_mod = refbridge.load_reference_module("models.3DViT_1_layer.model")
+    cfg = refbridge.make_point_cfg(
+        N_PT, 50, 22, nblocks=4, nneighbor=NNB,
+        transformer_backbone="deit_tiny_patch16_224", pretrained=False,
+        head="Linear")
+    torch.manual_seed(0)
+    ref = ref_mod.PointTransformerSeg(cfg)
+    missing, unexpected = ref.load_state_dict(
+        refbridge.export_pointvit_state_dict(
+            params_np, 22, variables.get("batch_stats")), strict=False)
+    assert not missing and not unexpected, (missing, unexpected)
+    ref.eval()
+    with refbridge.pinned_fps_start(), torch.no_grad():
+        out_ref = ref(torch.from_numpy(x)).numpy()
+    out_ours = np.asarray(model.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(out_ours, out_ref, rtol=1e-3,
+                               atol=3e-4 * max(1.0, np.abs(out_ref).max()))
+
+    # the LwF student's image route (train_partseg_lwf.py:224 calls
+    # forward_images directly)
+    with torch.no_grad():
+        img_ref = ref.forward_images(
+            torch.from_numpy(img.transpose(0, 3, 1, 2))).numpy()
+    img_ours = np.asarray(model.apply(variables, jnp.asarray(img),
+                                      method=model.forward_images))
+    np.testing.assert_allclose(img_ours, img_ref, rtol=1e-3,
+                               atol=3e-4 * max(1.0, np.abs(img_ref).max()))
+
+
+@pytest.mark.parametrize("peg", [False, True])
+def test_vip3d_matches_reference_code(rng, peg):
+    layers, trans = [2, 2], [True, False]
+    seg_dim, mlpr, dims = [8, 4], [3, 3], [64, 128]
+    v, cell = 16, 2
+    model = VisionPermutator3D(
+        embed_layer=VoxelEmbedNoAverage(voxel_size=v, cell_size=cell,
+                                        patch_size=8, embed_dim=dims[0]),
+        layers=layers, embed_dims=dims, transitions=trans,
+        segment_dim=seg_dim, mlp_ratios=mlpr, num_classes=9,
+        pos_embedding="PEG" if peg else None)
+    x = (rng.rand(2, v, v, v) > 0.7).astype(np.float32)
+    variables = _fatten(model.init(jax.random.key(0), jnp.asarray(x)), 4.0)
+    params_np = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    ref_vip = refbridge.load_reference_module("models.vip_3d")
+    ref_emb = refbridge.load_reference_module("models.embed_layer_3d_modality")
+    torch.manual_seed(0)
+    ref = ref_vip.VisionPermutator3D(
+        layers, embed_dims=dims, patch_size=cell, transitions=trans,
+        segment_dim=seg_dim, mlp_ratios=mlpr,
+        mlp_fn=ref_vip.WeightedPermuteMLP,
+        embed_layer=ref_emb.VoxelEmbed_no_average(
+            voxel_size=v, cell_size=cell, patch_size=8, in_chans=1,
+            embed_dim=dims[0]),
+        pos_embedding="PEG" if peg else None, num_classes=9)
+    missing, unexpected = ref.load_state_dict(
+        refbridge.export_vip3d_state_dict(params_np, layers, trans, dims,
+                                          cell, peg=peg), strict=False)
+    assert not missing and not unexpected, (missing, unexpected)
+    ref.eval()
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x[:, None])).numpy()
+    out_ours = np.asarray(model.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(out_ours, out_ref, rtol=1e-3, atol=1e-3)
 
 
 @pytest.mark.slow

@@ -28,8 +28,11 @@ def torch_weighted_permute_mlp(x, p, seg):
             out = out + torch.from_numpy(np.asarray(p[name]["bias"]))
         return out
 
+    # NB: the restore permute is the reference's exact (0, 4, 2, 3, 1, 5)
+    # (vip_3d.py:71) — NOT the true inverse (0, 4, 3, 2, 1, 5); it swaps the
+    # h-branch's W/Z axes (silent since W == Z). Mirrored by our model.
     h = x.reshape(B, H, W, Z, seg, S).permute(0, 4, 3, 2, 1, 5).reshape(B, seg, Z, W, H * S)
-    h = lin("mlp_h", h).reshape(B, seg, Z, W, H, T).permute(0, 4, 3, 2, 1, 5).reshape(B, H, W, Z, C)
+    h = lin("mlp_h", h).reshape(B, seg, Z, W, H, T).permute(0, 4, 2, 3, 1, 5).reshape(B, H, W, Z, C)
     w = x.reshape(B, H, W, Z, seg, S).permute(0, 1, 4, 3, 2, 5).reshape(B, H, seg, Z, W * S)
     w = lin("mlp_w", w).reshape(B, H, seg, Z, W, T).permute(0, 1, 4, 3, 2, 5).reshape(B, H, W, Z, C)
     z = x.reshape(B, H, W, Z, seg, S).permute(0, 2, 1, 4, 3, 5).reshape(B, W, H, seg, Z * S)
@@ -58,7 +61,7 @@ def test_weighted_permute_mlp_axis_mixes_match_torch(rng):
     b = np.asarray(params["mlp_h"]["bias"])
     h_ours = x.reshape(B, H, H, H, seg, S).transpose(0, 4, 3, 2, 1, 5)
     h_ours = h_ours.reshape(B, seg, H, H, H * S) @ k + b
-    h_ours = h_ours.reshape(B, seg, H, H, H, T).transpose(0, 4, 3, 2, 1, 5)
+    h_ours = h_ours.reshape(B, seg, H, H, H, T).transpose(0, 4, 2, 3, 1, 5)
     h_ours = h_ours.reshape(B, H, H, H, C)
     np.testing.assert_allclose(h_ours, h_ref.numpy(), rtol=1e-4, atol=1e-5)
 
