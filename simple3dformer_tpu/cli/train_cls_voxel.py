@@ -33,7 +33,7 @@ from ..core.rng import DEFAULT_SEED
 from ..data import datasets
 from ..data.classmaps import CLASSES_ModelNet10, CLASSES_ModelNet40, CLASSES_SHAPENET
 from ..data.pipeline import DeviceResidentDataset
-from ..models.voxel_vit import VoxelViT, frozen_mask
+from ..models.voxel_vit import VoxelViT, frozen_mask, shard_safe_batch_pack
 from ..nn.vit import EMBED_DIM
 from ..nn.voxel_embed import make_embed_layer
 from ..parallel.mesh import ShardingRules, fetch_global, make_mesh, multihost_init
@@ -143,12 +143,21 @@ def main(argv=None):
         args.embed_layer, voxel_size=voxel_size, cell_size=args.cell_size,
         patch_size=args.patch_size, embed_dim=embed_dim, dtype=dtype,
     )
+    # batch_pack auto (round-3c) — but only when the packed fold stays
+    # shard-local on this mesh. default/no_embed packs [B, n3d+1] rows;
+    # weight_sharing packs [B*pz, px*py+1]; group_embed uses group_pack.
+    pz = voxel_size // args.cell_size
+    if args.pos_embedding == "weight_sharing":
+        rows, toks = args.batchSize * pz, args.patch_size ** 2 + 1
+    else:
+        rows, toks = args.batchSize, embedding.num_patches + 1
     model = VoxelViT(
         voxel_embed=embedding,
         n_classes=n_classes,
         transformer_backbone=args.transformer_name,
         pos_embedding=args.pos_embedding,
         head=args.head,
+        batch_pack=shard_safe_batch_pack(rows, toks, mesh.shape["data"]),
         dtype=dtype,
     )
 

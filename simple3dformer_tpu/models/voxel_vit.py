@@ -79,6 +79,23 @@ class PostNormEncoderLayer(nn.Module):
         return x
 
 
+def shard_safe_batch_pack(global_batch: int, n_tokens: int, n_data: int) -> int:
+    """batch_pack setting that keeps the packed reshape shard-local on an
+    n_data-way data-sharded mesh.
+
+    GSPMD shards the batch axis in contiguous blocks, so the [B, S] ->
+    [B/P, P*S] fold stays communication-free iff the packed row count B/P
+    remains a multiple of n_data (each packed row then draws its P source
+    rows from one shard). Returns 0 (auto) when that holds for the factor
+    auto would pick, else 1 (off) — packing across shards still computes
+    correctly but forces SPMD full rematerialization (observed in
+    dryrun_multichip's tiny-batch legs)."""
+    p = pack_factor(global_batch, n_tokens)
+    if p > 1 and (global_batch // p) % max(n_data, 1) == 0:
+        return 0
+    return 1
+
+
 def pack_factor(n_seq: int, seg_len: int, target: int = 128) -> int:
     """How many length-`seg_len` sequences to pack per attention row.
 
@@ -120,6 +137,20 @@ class VoxelViT(nn.Module):
     img_size: int = 224
     scan_blocks: bool = False  # see nn.vit.ViTCore
     group_pack: int = 0
+    # batch_pack: the same block-diagonal packing applied to the MAIN core
+    # pass of the default / no_embed / weight_sharing routes, which at the
+    # flagship recipe runs 26-token sequences (cell 6, patch 5 -> 25+cls).
+    # Packing P batch rows per attention row ([32,26] -> [8,104]) is the
+    # same exact math as group_pack. 0 = auto, 1 = off, >=2 forced.
+    # Measured e2e on the flagship scanned train step (scripts/
+    # ab_flagship_pack.py, interleaved trials — BASELINE.md round-3c):
+    # 14.1k -> 17.7k samples/sec/chip (+26%) at batch 32 f32 and
+    # 21.4k -> 28.7k (+34%) at batch 256 bf16, so auto is the default.
+    # Same guards as group_pack (rollout capture / S3F_PACK=0 / shapes
+    # must divide); under multi-chip dp sharding the packed reshape stays
+    # shard-local whenever rows-per-shard is a multiple of the pack factor
+    # (contiguous GSPMD blocks), e.g. global batch 32 on 8 devices.
+    batch_pack: int = 0
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -201,6 +232,18 @@ class VoxelViT(nn.Module):
         )
         return jnp.concatenate([cls, tokens], axis=1)
 
+    def _packed_core(self, tok, deterministic):
+        """Main core pass with optional batch_pack row packing: [B, S, D]
+        rows fold P-per-attention-row with a block-diagonal mask (exact —
+        same machinery as group_pack), then unfold. [B,S,D] -> [B,S,D]."""
+        B, S, D = tok.shape
+        P = self._resolve_pack(self.batch_pack, B, S)
+        if P > 1:
+            packed = tok.reshape(B // P, P * S, D)
+            feats = self.core(packed, deterministic=deterministic, seg_len=S)
+            return feats.reshape(B, S, D)
+        return self.core(tok, deterministic=deterministic)
+
     # -- forward paths -----------------------------------------------------
     def forward_features(self, x, *, deterministic: bool = True):
         """x: [B, V, V, V] float occupancy -> pooled feature [B, D]."""
@@ -213,7 +256,7 @@ class VoxelViT(nn.Module):
             if mode == "default":
                 tok = tok + self.voxel_pos_embed.astype(tok.dtype)
             # no_embed: zero pos embed, omitted entirely (same math, no read)
-            feats = self.core(tok, deterministic=deterministic)
+            feats = self._packed_core(tok, deterministic)
             return feats[:, 0]
 
         if mode == "group_embed":
@@ -247,7 +290,7 @@ class VoxelViT(nn.Module):
         slices = tok.transpose(0, 3, 1, 2, 4).reshape(B * pz, px * py, D)
         slices = self._with_cls(slices, self.cls_token)
         slices = slices + self.voxel_pos_embed.astype(slices.dtype)
-        feats = self.core(slices, deterministic=deterministic)
+        feats = self._packed_core(slices, deterministic)
         cls = feats[:, 0].reshape(B, pz, D)
         return jnp.mean(cls, axis=1)
 

@@ -133,6 +133,47 @@ def test_voxel_vit_group_pack_exact():
             err_msg=jax.tree_util.keystr(ka[0]))
 
 
+def test_voxel_vit_batch_pack_exact():
+    """batch_pack (default-route row packing) forward == unpacked, logits and
+    param grads — the flagship recipe's [B, 26, D] core pass folded 4 rows
+    per attention row."""
+    from simple3dformer_tpu.nn.voxel_embed import VoxelEmbed
+
+    x = (np.random.RandomState(2).rand(4, 30, 30, 30) > 0.8).astype(np.float32)
+    x = jnp.asarray(x)
+    emb = VoxelEmbed(voxel_size=30, cell_size=6, patch_size=5, embed_dim=192)
+
+    def make(bp):
+        return VoxelViT(voxel_embed=emb, n_classes=40,
+                        transformer_backbone="deit_tiny_patch16_224",
+                        pos_embedding="default", batch_pack=bp)
+
+    m_off, m_auto = make(1), make(0)
+    variables = jax.jit(m_off.init)(jax.random.key(9), x)
+    y = jnp.array([3, 17, 0, 39])
+
+    def loss(m):
+        def f(p):
+            logits = m.apply({"params": p}, x)
+            return jnp.mean(
+                -jax.nn.log_softmax(logits)[jnp.arange(4), y]), logits
+        return jax.value_and_grad(f, has_aux=True)(variables["params"])
+
+    (l_off, logit_off), g_off = loss(m_off)
+    (l_on, logit_on), g_on = loss(m_auto)
+    # B=4 sequences of 26 tokens -> auto pack factor 4 (104 <= 128)
+    np.testing.assert_allclose(np.asarray(logit_on), np.asarray(logit_off),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(l_on), float(l_off), rtol=1e-5)
+    for (ka), (kb) in zip(
+        jax.tree_util.tree_leaves_with_path(g_off),
+        jax.tree_util.tree_leaves_with_path(g_on),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(kb[1]), np.asarray(ka[1]), rtol=5e-4, atol=5e-5,
+            err_msg=jax.tree_util.keystr(ka[0]))
+
+
 def test_group_pack_disabled_under_rollout_capture():
     """mutable=['intermediates'] must sow per-pillar attention shapes."""
     x = jnp.asarray(
