@@ -291,12 +291,22 @@ def main():
     ap.add_argument("--n-test", type=int, default=2048)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backbone", default="deit_tiny_patch16_224")
+    # StepLR knobs, scaled to harness epoch counts (the reference's
+    # StepLR(50/20) never fires inside a <=20-epoch synthetic run, leaving
+    # both frameworks oscillating at lr0 — the recorded point-track run used
+    # --epochs 18 --lr-step 8 so both sides converge before comparison).
+    ap.add_argument("--lr-step", type=int, default=None,
+                    help="StepLR period in epochs (default: track-native "
+                         "20 voxel / 50 point)")
+    ap.add_argument("--lr-gamma", type=float, default=None)
     args = ap.parse_args()
     if args.track == "voxel":
         run_voxel(epochs=args.epochs, batch=args.batch, n_train=args.n_train,
-                  n_test=args.n_test, seed=args.seed, backbone=args.backbone)
+                  n_test=args.n_test, seed=args.seed, backbone=args.backbone,
+                  lr_step=args.lr_step or 20, lr_gamma=args.lr_gamma or 0.5)
     else:
-        run_point(epochs=args.epochs, batch=args.batch, seed=args.seed)
+        run_point(epochs=args.epochs, batch=args.batch, seed=args.seed,
+                  lr_step=args.lr_step or 50, lr_gamma=args.lr_gamma or 0.3)
 
 
 if __name__ == "__main__":
