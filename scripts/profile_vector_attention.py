@@ -46,7 +46,10 @@ def main():
     xyz = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
     feats = jnp.asarray(rng.randn(B, N, DP).astype(np.float32) * 0.1)
 
-    for dtype in (jnp.float32, jnp.bfloat16):
+    only = next((a for a in sys.argv[1:] if a in ("f32", "bf16")), None)
+    dtypes = {None: (jnp.float32, jnp.bfloat16), "f32": (jnp.float32,),
+              "bf16": (jnp.bfloat16,)}[only]
+    for dtype in dtypes:
         blk = VectorAttentionBlock(d_model=DM, k=K, dtype=dtype)
         params = jax.jit(blk.init)(jax.random.key(0), xyz, feats)["params"]
 

@@ -541,3 +541,220 @@ def _fused_bwd_pg(tile, interpret, res, g):
 
 
 fused_vector_attention_pregathered.defvjp(_fused_fwd_pg, _fused_bwd_pg)
+
+
+# ---------------------------------------------------------------------------
+# Residual-saving variant (bf16 train path). The recompute backward above is
+# the right call when residuals don't fit (f32), but at bf16 it re-runs the
+# gathers + whole chain: measured on-chip at B=64,N=1024,K=16,D=512 the
+# kernel is ~89% of MXU peak, i.e. FLOP-bound, and the recompute is ~29% of
+# total kernel FLOPs (gather re-pass 1.07 GF/cell + chain re-pass 0.81
+# GF/cell of 6.44 GF/cell f/b). Saving exactly four [B,N*K,D] compute-dtype
+# tensors (x, u, hg_pre, softmax a) removes ALL backward recompute:
+#
+#   * x and hg_pre are BIT-EXACT saves: the recompute backward itself only
+#     ever uses them cast to the compute dtype (weight-grad matmuls) or via
+#     their sign (ReLU masks, exact under round-to-nearest);
+#   * u and a are rounded to the compute dtype (<=0.4% rel at bf16) on the
+#     softmax-bwd/elementwise paths — grads deviate by O(bf16 eps), bounded
+#     by tests/test_vector_attention_fused.py against the oracle;
+#   * the backward also no longer needs k_all/v_all VMEM-resident (only the
+#     one-hot rebuild for the two scatter matmuls).
+#
+# HBM cost: 4 tensors written in fwd + read in bwd (8.6 GB total traffic at
+# the flagship level-0 shape) hides under the remaining ~47 ms of MXU time.
+# The un-differentiated primal still runs the no-residual forward kernel, so
+# eval/inference pays nothing. Dispatch policy lives in
+# nn/vector_attention.py (S3F_VA_RESID, HBM cap).
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_res(q_ref, kall_ref, vall_ref, idx_ref, rel_ref,
+                    wd1_ref, bd1_ref, wd2_ref, bd2_ref,
+                    wg1_ref, bg1_ref, wg2_ref, bg2_ref,
+                    out_ref, x_ref, u_ref, hgp_ref, a_ref, *, kk, dtype):
+    n = kall_ref.shape[1]
+    _, k, v = _gather_kv(kall_ref, vall_ref, idx_ref, n, dtype)
+    _, _, _, x, hg_pre, _, a, u, out = _chain_fwd(
+        q_ref[0], k, v, rel_ref[0],
+        wd1_ref[...], bd1_ref[...], wd2_ref[...], bd2_ref[...],
+        wg1_ref[...], bg1_ref[...], wg2_ref[...], bg2_ref[...],
+        kk=kk, dtype=dtype)
+    out_ref[0] = out.astype(out_ref.dtype)
+    x_ref[0] = x.astype(x_ref.dtype)
+    u_ref[0] = u.astype(u_ref.dtype)
+    hgp_ref[0] = hg_pre.astype(hgp_ref.dtype)
+    a_ref[0] = a.reshape(x.shape[0], x.shape[1]).astype(a_ref.dtype)
+
+
+def _bwd_kernel_res(idx_ref, rel_ref,
+                    wd1_ref, bd1_ref, wd2_ref, bd2_ref,
+                    wg1_ref, bg1_ref, wg2_ref, bg2_ref, g_ref,
+                    x_ref, u_ref, hgp_ref, a_ref,
+                    gq_ref, gkall_ref, gvall_ref, grel_ref,
+                    gwd1_ref, gbd1_ref, gwd2_ref, gbd2_ref,
+                    gwg1_ref, gbg1_ref, gwg2_ref, gbg2_ref,
+                    *, kk, dtype):
+    """Backward from saved residuals: grad matmuls + scatters only. The only
+    recompute is the cheap 3->D fc_delta hidden (for its ReLU mask/weight
+    grad) and the one-hot rebuild for the two scatter matmuls."""
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _():
+        for r in (gwd1_ref, gbd1_ref, gwd2_ref, gbd2_ref,
+                  gwg1_ref, gbg1_ref, gwg2_ref, gbg2_ref):
+            r[...] = jnp.zeros_like(r)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        gkall_ref[...] = jnp.zeros_like(gkall_ref)
+        gvall_ref[...] = jnp.zeros_like(gvall_ref)
+
+    n = gkall_ref.shape[1]
+    t, d = g_ref.shape[1], g_ref.shape[2]
+
+    idxc = idx_ref[0]
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (idxc.shape[0], n), 1)
+          == idxc).astype(dtype)
+
+    hd_pre = _mm(rel_ref[0].astype(dtype), wd1_ref[...].astype(dtype)) \
+        + bd1_ref[...]
+    hd = jnp.maximum(hd_pre, 0.0)
+
+    x = x_ref[0]                                   # compute dtype (exact)
+    u = u_ref[0].astype(jnp.float32)
+    hg_pre = hgp_ref[0].astype(jnp.float32)
+    hg = jnp.maximum(hg_pre, 0.0)
+    a = a_ref[0].astype(jnp.float32).reshape(t, kk, d)
+
+    g = g_ref[0].astype(jnp.float32)  # [T, D]
+    g3 = jnp.broadcast_to(g[:, None, :], (t, kk, d))
+    u3 = u.reshape(t, kk, d)
+    g_a = g3 * u3
+    g_u = (a * g3).reshape(t * kk, d)
+    g_z = a * (g_a - jnp.sum(a * g_a, axis=1, keepdims=True))
+    g_logits = (g_z * (1.0 / (d ** 0.5))).reshape(t * kk, d)
+
+    gl = g_logits.astype(dtype)
+    g_hg = _mm_t(gl, wg2_ref[...].astype(dtype)) * (hg_pre > 0)
+    gwg2_ref[...] += _mm_at(hg.astype(dtype), gl)
+    gbg2_ref[...] += jnp.sum(g_logits, axis=0, keepdims=True)
+
+    ghg = g_hg.astype(dtype)
+    g_x = _mm_t(ghg, wg1_ref[...].astype(dtype))  # [TK, D]
+    gwg1_ref[...] += _mm_at(x.astype(dtype), ghg)
+    gbg1_ref[...] += jnp.sum(g_hg, axis=0, keepdims=True)
+
+    g_pos = g_x + g_u
+    gp = g_pos.astype(dtype)
+    g_hd = _mm_t(gp, wd2_ref[...].astype(dtype)) * (hd_pre > 0)
+    gwd2_ref[...] += _mm_at(hd.astype(dtype), gp)
+    gbd2_ref[...] += jnp.sum(g_pos, axis=0, keepdims=True)
+
+    ghd = g_hd.astype(dtype)
+    g_rel = _mm_t(ghd, wd1_ref[...].astype(dtype))  # [TK, 3]
+    gwd1_ref[...] += _mm_at(rel_ref[0].astype(dtype), ghd)
+    gbd1_ref[...] += jnp.sum(g_hd, axis=0, keepdims=True)
+
+    gq_ref[0] = jnp.sum(g_x.reshape(t, kk, d), axis=1).astype(gq_ref.dtype)
+    prec = _gather_precision(dtype)
+    gkall_ref[0] += _mm_at(oh, (-g_x).astype(dtype), precision=prec)
+    gvall_ref[0] += _mm_at(oh, g_u.astype(dtype), precision=prec)
+    grel_ref[0] = g_rel.astype(grel_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_vector_attention_resid(q, k_all, v_all, idx, rel, weights,
+                                 tile=32, interpret=False):
+    """fused_vector_attention with a residual-saving backward (see above).
+
+    Same signature/semantics; forward outputs are identical (same kernel
+    math). Only use when 4*B*N*K*D*itemsize of extra HBM is affordable —
+    nn/vector_attention.py gates on that.
+    """
+    # Un-differentiated primal: no residuals are needed, run the plain
+    # forward kernel (eval/inference pays zero extra HBM).
+    return _fused_fwd_impl(q, k_all, v_all, idx, rel, weights, tile,
+                           interpret)
+
+
+def _fused_fwd_res(q, k_all, v_all, idx, rel, weights, tile, interpret):
+    b, n, kk = idx.shape
+    d = q.shape[-1]
+    dtype = q.dtype
+    q2, idx2, rel2, npad = _prep(q, idx, rel, tile)
+    grid = (b, npad // tile)
+    res_spec = pl.BlockSpec((1, tile * kk, d), lambda bi, i: (bi, i, 0))
+    res_shape = jax.ShapeDtypeStruct((b, npad * kk, d), dtype)
+    out, x_s, u_s, hgp_s, a_s = pl.pallas_call(
+        functools.partial(_fwd_kernel_res, kk=kk, dtype=dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, d), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec((1, n, d), lambda bi, i: (bi, 0, 0)),
+            pl.BlockSpec((1, n, d), lambda bi, i: (bi, 0, 0)),
+            pl.BlockSpec((1, tile * kk, 1), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec((1, tile * kk, 3), lambda bi, i: (bi, i, 0)),
+        ] + [pl.BlockSpec(w.shape, lambda bi, i: (0, 0))
+             for w in _weight_list(weights)],
+        out_specs=[pl.BlockSpec((1, tile, d), lambda bi, i: (bi, i, 0)),
+                   res_spec, res_spec, res_spec, res_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, npad, d), dtype),
+                   res_shape, res_shape, res_shape, res_shape],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(q2, k_all, v_all, idx2, rel2,
+      *[w.astype(jnp.float32) for w in _weight_list(weights)])
+    return out[:, :n], (idx, rel, weights, x_s, u_s, hgp_s, a_s)
+
+
+def _fused_bwd_res(tile, interpret, res, g):
+    idx, rel, weights, x_s, u_s, hgp_s, a_s = res
+    b, n, kk = idx.shape
+    d = x_s.shape[-1]
+    dtype = x_s.dtype
+    _, idx2, rel2, npad = _prep(jnp.zeros((b, n, d), dtype), idx, rel, tile)
+    g2 = _pad_n(g, npad)
+    grid = (b, npad // tile)
+    wl = _weight_list(weights)
+    res_spec = pl.BlockSpec((1, tile * kk, d), lambda bi, i: (bi, i, 0))
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel_res, kk=kk, dtype=dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile * kk, 1), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec((1, tile * kk, 3), lambda bi, i: (bi, i, 0)),
+        ] + [pl.BlockSpec(w.shape, lambda bi, i: (0, 0)) for w in wl]
+          + [pl.BlockSpec((1, tile, d), lambda bi, i: (bi, i, 0)),
+             res_spec, res_spec, res_spec, res_spec],
+        out_specs=[
+            pl.BlockSpec((1, tile, d), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec((1, n, d), lambda bi, i: (bi, 0, 0)),
+            pl.BlockSpec((1, n, d), lambda bi, i: (bi, 0, 0)),
+            pl.BlockSpec((1, tile * kk, 3), lambda bi, i: (bi, i, 0)),
+        ] + [pl.BlockSpec(w.shape, lambda bi, i: (0, 0)) for w in wl],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, npad, d), dtype),
+            jax.ShapeDtypeStruct((b, n, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, npad * kk, 3), dtype),
+        ] + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wl],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(idx2, rel2, *[w.astype(jnp.float32) for w in wl], g2,
+      x_s, u_s, hgp_s, a_s)
+
+    gq = outs[0][:, :n]
+    gkall = outs[1].astype(dtype)
+    gvall = outs[2].astype(dtype)
+    grel = outs[3].reshape(b, npad, kk, 3)[:, :n].astype(rel.dtype)
+    gidx = np.zeros(idx.shape, dtype=jax_dtypes.float0)
+    gw = dict(zip(_WNAMES, outs[4:]))
+    for name in _WNAMES:
+        want = weights[name].shape
+        gw[name] = gw[name].reshape(want).astype(weights[name].dtype)
+    return gq, gkall, gvall, gidx, grel, gw
+
+
+fused_vector_attention_resid.defvjp(_fused_fwd_res, _fused_bwd_res)

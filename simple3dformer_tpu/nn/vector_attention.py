@@ -39,8 +39,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+import os
+
 from ..kernels.vector_attention import (
-    fused_vector_attention, fused_vector_attention_pregathered)
+    fused_vector_attention, fused_vector_attention_pregathered,
+    fused_vector_attention_resid)
 from ..ops import pointops
 from .layers import dense
 
@@ -49,6 +52,13 @@ from .layers import dense
 FORCE_FUSED: bool | None = None
 # Run the Pallas kernel in interpreter mode (CPU parity tests only).
 INTERPRET: bool = False
+# Residual-saving backward (bf16 train path): the recompute backward re-runs
+# gathers + chain at ~29% of kernel FLOPs while the kernel is MXU-bound
+# (~89% of peak measured) — saving 4 [B,N*K,D] tensors removes it (see
+# kernels/vector_attention.py). Off via S3F_VA_RESID=0; auto-falls back to
+# the recompute kernel when the saved tensors would exceed _RESID_CAP_BYTES
+# of HBM per call (flagship level-0 = 4.3 GB of a 16 GB v5e).
+_RESID_CAP_BYTES = 6 * 2 ** 30
 
 
 class MLP2(nn.Module):
@@ -128,9 +138,17 @@ class VectorAttentionBlock(nn.Module):
                 res = fused_vector_attention_pregathered(
                     q, k, v, rel.astype(cd), weights, 32, INTERPRET)
             else:
-                res = fused_vector_attention(
-                    q, k_all, v_all, knn_idx, rel.astype(cd), weights, 32,
-                    INTERPRET)
+                b, n, kk = knn_idx.shape
+                resid_bytes = 4 * b * n * kk * self.d_model * q.dtype.itemsize
+                if (os.environ.get("S3F_VA_RESID", "1") != "0"
+                        and resid_bytes <= _RESID_CAP_BYTES):
+                    res = fused_vector_attention_resid(
+                        q, k_all, v_all, knn_idx, rel.astype(cd), weights,
+                        32, INTERPRET)
+                else:
+                    res = fused_vector_attention(
+                        q, k_all, v_all, knn_idx, rel.astype(cd), weights,
+                        32, INTERPRET)
             attn = None
         else:
             k = pointops.index_points(k_all, knn_idx)  # [B,N,K,Dm]

@@ -174,6 +174,116 @@ def test_pregathered_op_matches_oracle(rng):
             rtol=1e-4, atol=1e-5, err_msg=name)
 
 
+def test_resid_op_forward_matches_recompute_exactly(rng):
+    """The residual-saving variant's fwd is the same kernel math — and its
+    un-differentiated primal is literally the no-residual kernel."""
+    from simple3dformer_tpu.kernels.vector_attention import (
+        fused_vector_attention_resid)
+
+    q, k_all, v_all, idx, rel, w = _rand_inputs(rng)
+    out_r = fused_vector_attention_resid(q, k_all, v_all, idx, rel, w,
+                                         32, True)
+    out_f = fused_vector_attention(q, k_all, v_all, idx, rel, w, 32, True)
+    np.testing.assert_array_equal(np.asarray(out_r), np.asarray(out_f))
+
+
+def test_resid_op_vjp_matches_oracle(rng):
+    """f32 residual saves are exact, so the residual backward must hit the
+    same oracle tolerances as the recompute backward."""
+    from simple3dformer_tpu.kernels.vector_attention import (
+        fused_vector_attention_resid)
+
+    q, k_all, v_all, idx, rel, w = _rand_inputs(rng)
+    ct = jnp.asarray(rng.randn(*q.shape).astype(np.float32))
+
+    def loss(fn):
+        def f(q, k_all, v_all, rel, w):
+            return jnp.sum(fn(q, k_all, v_all, rel, w) * ct)
+        return f
+
+    gf = jax.grad(
+        loss(lambda q, ka, va_, rel, w:
+             fused_vector_attention_resid(q, ka, va_, idx, rel, w, 32, True)),
+        argnums=(0, 1, 2, 3, 4))(q, k_all, v_all, rel, w)
+    gr = jax.grad(
+        loss(lambda q, ka, va_, rel, w: _oracle(q, ka, va_, idx, rel, w)),
+        argnums=(0, 1, 2, 3, 4))(q, k_all, v_all, rel, w)
+    for name, a, b in zip(("gq", "gkall", "gvall", "grel"), gf[:4], gr[:4]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+    for name in gr[4]:
+        scale = max(float(jnp.max(jnp.abs(gr[4][name]))), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(gf[4][name]) / scale, np.asarray(gr[4][name]) / scale,
+            rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_resid_op_row_padding_and_duplicates(rng):
+    """N not a tile multiple + all-duplicate indices: padding rows must not
+    pollute the scatter accumulators, duplicates must scatter-add."""
+    from simple3dformer_tpu.kernels.vector_attention import (
+        fused_vector_attention_resid)
+
+    q, k_all, v_all, idx, rel, w = _rand_inputs(rng, b=3, n=27, k=5, d=128)
+    idx = idx.at[:, :5].set(0)
+
+    def f(ka):
+        return jnp.sum(fused_vector_attention_resid(
+            q, ka, v_all, idx, rel, w, 32, True) ** 2)
+
+    def r(ka):
+        return jnp.sum(_oracle(q, ka, v_all, idx, rel, w) ** 2)
+
+    np.testing.assert_allclose(np.asarray(f(k_all)), np.asarray(r(k_all)),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(jax.grad(f)(k_all)),
+                               np.asarray(jax.grad(r)(k_all)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_module_bf16_resid_dispatch(rng, monkeypatch):
+    """bf16 module path routes through the residual variant by default and
+    falls back to the recompute kernel under S3F_VA_RESID=0 / the HBM cap —
+    same grads either way (bf16 u/a rounding tolerance)."""
+    xyz = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(2, 64, 32).astype(np.float32) * 0.3)
+    blk = va.VectorAttentionBlock(d_model=128, k=8, dtype=jnp.bfloat16)
+    params = blk.init(jax.random.key(0), xyz, feats)["params"]
+
+    monkeypatch.setattr(va, "INTERPRET", True)
+    monkeypatch.setattr(va, "FORCE_FUSED", True)
+
+    def loss(p):
+        out, _ = blk.apply({"params": p}, xyz, feats)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    calls = []
+    real_resid = va.fused_vector_attention_resid
+    real_recomp = va.fused_vector_attention
+    monkeypatch.setattr(
+        va, "fused_vector_attention_resid",
+        lambda *a, **k: calls.append("resid") or real_resid(*a, **k))
+    monkeypatch.setattr(
+        va, "fused_vector_attention",
+        lambda *a, **k: calls.append("recompute") or real_recomp(*a, **k))
+
+    g_resid = jax.grad(loss)(params)
+    assert "resid" in calls and "recompute" not in calls
+
+    calls.clear()
+    monkeypatch.setenv("S3F_VA_RESID", "0")
+    g_recomp = jax.grad(loss)(params)
+    assert "recompute" in calls and "resid" not in calls
+
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_resid),
+            jax.tree_util.tree_leaves_with_path(g_recomp)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(float(np.max(np.abs(b))), 1e-3)
+        np.testing.assert_allclose(a / scale, b / scale, rtol=2e-2, atol=2e-2,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
 def test_module_fused_bf16_path(rng, monkeypatch):
     """bf16 module path dispatches to the in-kernel-gather kernel."""
     xyz = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
