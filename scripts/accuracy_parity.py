@@ -19,6 +19,13 @@ Voxel track (strongest form — identical initial weights):
     learning rates; the only remaining differences are framework-internal
     (XLA vs eager kernels, tanh- vs erf-GELU, reduction orders).
 
+Partseg track (--track partseg): the north star's SECOND metric — ShapeNetPart
+instance mIoU — against the reference's own 3DViT_1_layer PointTransformerSeg,
+with the full train_partseg.py recipe on both sides (category one-hot concat,
+LR decay + BN-momentum schedules, category-restricted argmax bookkeeping) on a
+synthetic task lifted into the real 50-part label space
+(synthetic_tasks.make_partseg_parts).
+
 Point track (Hengshuang cls, --track point): also identical initial weights
 (refbridge.export_hengshuang_state_dict, 1:1 correspondence pinned in
 tests/test_reference_parity.py) and identical batch order, with the
@@ -282,9 +289,152 @@ def run_point(epochs=12, batch=32, lr=1e-3, n_train=1536, n_test=1024,
     return out
 
 
+def run_partseg(epochs=10, batch=32, lr=1e-3, n_train=1024, n_test=512,
+                seed=0, npoint=128, nneighbor=8,
+                backbone="deit_tiny_patch16_224", lr_step=4, lr_gamma=0.5):
+    """ShapeNetPart semantics vs the reference's OWN 3DViT_1_layer
+    PointTransformerSeg (train_partseg.py:86-152): identical init (refbridge
+    exporter, correspondence pinned in tests/test_reference_parity.py) and
+    batch order; per-point CE over the 16-way category one-hot concat
+    (to_categorical, :41,147); the reference's LR decay
+    max(lr*gamma^(e//step), 1e-5) and BN-momentum schedule
+    max(0.9*0.5^(e//step), 0.01) applied on BOTH sides (:121-130); converged
+    best INSTANCE mIoU compared — the north star's second metric — with the
+    category-restricted-argmax / absent-part-counts-1.0 bookkeeping
+    (oracle-tested PartSegMeter) applied to both sides' logits.
+
+    Trajectories diverge by design (torch.randint FPS start vs scanned FPS
+    from index 0; unbiased vs biased BN variance), hence converged-accuracy
+    comparison, as in the point track."""
+    from simple3dformer_tpu.cli.train_partseg import make_prepare_fn
+    from simple3dformer_tpu.models.point_vit import PointViT
+    from simple3dformer_tpu.train.eval_metrics import PartSegMeter
+    from simple3dformer_tpu.train.loop import seg_cross_entropy
+
+    ref_mod = refbridge.load_reference_module("models.3DViT_1_layer.model")
+    rng = np.random.RandomState(seed)
+    xs, cs, ss = synthetic_tasks.make_partseg_parts(n_train, npoint, rng)
+    xt, ct, st_ = synthetic_tasks.make_partseg_parts(n_test, npoint, rng)
+    input_dim = 3 + 16
+
+    def build_model(torch_mom):
+        return PointViT(variant="3DViT_1_layer", task="seg",
+                        num_point=npoint, num_class=50, input_dim=input_dim,
+                        nneighbor=nneighbor, transformer_backbone=backbone,
+                        bn_momentum=1.0 - torch_mom)
+
+    model = build_model(0.9)
+    variables = jax.jit(
+        lambda k, a, b: model.init(k, a, b, method=model.init_all)
+    )(jax.random.key(seed), jnp.zeros((2, npoint, input_dim)),
+      jnp.zeros((1, 224, 224, 3)))
+    params_np = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    cfg = refbridge.make_point_cfg(npoint, 50, input_dim, nblocks=4,
+                                   nneighbor=nneighbor,
+                                   transformer_backbone=backbone,
+                                   pretrained=False, head="Linear")
+    torch.manual_seed(seed)
+    ref_model = ref_mod.PointTransformerSeg(cfg)
+    missing, unexpected = ref_model.load_state_dict(
+        refbridge.export_pointvit_state_dict(
+            params_np, input_dim, variables.get("batch_stats")),
+        strict=False)
+    assert not missing and not unexpected, (missing, unexpected)
+
+    steps_per_epoch = n_train // batch
+    order_rng = np.random.RandomState(seed + 1)
+    epoch_idx = [
+        order_rng.permutation(n_train)[: steps_per_epoch * batch]
+        .reshape(steps_per_epoch, batch)
+        for _ in range(epochs)
+    ]
+    lrs = [max(lr * (lr_gamma ** (e // lr_step)), 1e-5)
+           for e in range(epochs)]
+    moms = [max(0.9 * (0.5 ** (e // lr_step)), 0.01) for e in range(epochs)]
+
+    # ---- jax production loop (cli/train_partseg.py structure) ----
+    tx = make_optimizer("Adam")
+    prepare = make_prepare_fn()
+    ds = DeviceResidentDataset({"x": xs, "cls": cs, "y": ss})
+    test_ds = DeviceResidentDataset({"x": xt, "cls": ct, "y": st_})
+    state = create_train_state(variables["params"], tx,
+                               variables.get("batch_stats"))
+    eval_idx = jnp.asarray(np.arange(n_test).reshape(-1, 64))
+
+    jax_iou, cur, t0 = [], None, time.time()
+    for e in range(epochs):
+        if moms[e] != cur:
+            cur = moms[e]
+            model = build_model(cur)
+            run = make_scanned_train_steps(
+                model, tx, ds, None, loss_fn=seg_cross_entropy,
+                has_batch_stats=True, prepare_fn=prepare)
+            evaluate = make_scanned_eval(model, test_ds, None,
+                                         has_batch_stats=True,
+                                         prepare_fn=prepare)
+        state, _ = run(state, jnp.asarray(epoch_idx[e]), lrs[e],
+                       jax.random.key(e))
+        logits = np.asarray(evaluate(state, eval_idx)).reshape(-1, npoint, 50)
+        meter = PartSegMeter()
+        meter.update(logits, st_)
+        jax_iou.append(meter.instance_avg_iou)
+        print(f"[jax]   epoch {e:2d} lr {lrs[e]:.2e} bn_mom {moms[e]:.3f} "
+              f"inst mIoU {jax_iou[-1]:.4f} ({time.time() - t0:.0f}s)",
+              flush=True)
+
+    # ---- reference loop (train_partseg.py:121-152 semantics) ----
+    def cat_onehot(labels):
+        return np.eye(16, dtype=np.float32)[labels]
+
+    x_tr = np.concatenate(
+        [xs, np.repeat(cat_onehot(cs)[:, None], npoint, 1)], -1)
+    x_te = np.concatenate(
+        [xt, np.repeat(cat_onehot(ct)[:, None], npoint, 1)], -1)
+    tx_all = torch.from_numpy(x_tr)
+    ty_all = torch.from_numpy(ss.astype(np.int64))
+    tt_all = torch.from_numpy(x_te)
+    opt = torch.optim.Adam(ref_model.parameters(), lr=lrs[0],
+                           betas=(0.9, 0.999), eps=1e-8)
+    ref_iou = []
+    for e in range(epochs):
+        for g in opt.param_groups:
+            g["lr"] = lrs[e]
+        for m in ref_model.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                m.momentum = moms[e]
+        ref_model.train()
+        for s in range(steps_per_epoch):
+            bi = epoch_idx[e][s]
+            out = ref_model(tx_all[bi])
+            loss = F.cross_entropy(out.reshape(-1, 50), ty_all[bi].reshape(-1))
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+        ref_model.eval()
+        meter = PartSegMeter()
+        with torch.no_grad():
+            for i in range(0, n_test, 64):
+                meter.update(ref_model(tt_all[i:i + 64]).numpy(),
+                             st_[i:i + 64])
+        ref_iou.append(meter.instance_avg_iou)
+        print(f"[torch] epoch {e:2d} lr {lrs[e]:.2e} bn_mom {moms[e]:.3f} "
+              f"inst mIoU {ref_iou[-1]:.4f} ({time.time() - t0:.0f}s)",
+              flush=True)
+
+    out = dict(jax_iou=np.array(jax_iou), ref_iou=np.array(ref_iou),
+               best_jax=max(jax_iou), best_ref=max(ref_iou),
+               gap_pts=abs(max(jax_iou) - max(ref_iou)) * 100.0)
+    print(f"\nbest instance mIoU ours {out['best_jax']:.4f} vs "
+          f"reference-code {out['best_ref']:.4f}  |gap| = "
+          f"{out['gap_pts']:.2f} pts")
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--track", default="voxel", choices=["voxel", "point"])
+    ap.add_argument("--track", default="voxel",
+                    choices=["voxel", "point", "partseg"])
     ap.add_argument("--epochs", type=int, default=15)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--n-train", type=int, default=2048)
@@ -304,6 +454,9 @@ def main():
         run_voxel(epochs=args.epochs, batch=args.batch, n_train=args.n_train,
                   n_test=args.n_test, seed=args.seed, backbone=args.backbone,
                   lr_step=args.lr_step or 20, lr_gamma=args.lr_gamma or 0.5)
+    elif args.track == "partseg":
+        run_partseg(epochs=args.epochs, batch=args.batch, seed=args.seed,
+                    lr_step=args.lr_step or 4, lr_gamma=args.lr_gamma or 0.5)
     else:
         run_point(epochs=args.epochs, batch=args.batch, seed=args.seed,
                   lr_step=args.lr_step or 50, lr_gamma=args.lr_gamma or 0.3)

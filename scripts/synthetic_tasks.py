@@ -105,6 +105,25 @@ def make_catplane_seg(n, npoint, n_cat, rng):
     return xs, cs, ys
 
 
+def make_partseg_parts(n, npoint, rng):
+    """make_catplane_seg lifted into the REAL ShapeNetPart label space.
+
+    Category c's two plane sides map to the first two part ids of
+    SEG_CLASSES[cat_c] (every ShapeNetPart category has >= 2 parts), so the
+    category-restricted argmax and the absent-part-counts-as-1.0 bookkeeping
+    (train/eval_metrics.PartSegMeter, /root/reference/train_partseg.py:
+    194-206) run exactly as on real data. Used by the partseg track of
+    scripts/accuracy_parity.py."""
+    from simple3dformer_tpu.train.eval_metrics import SEG_CLASSES
+
+    cats = list(SEG_CLASSES)
+    xs, cs, ys01 = make_catplane_seg(n, npoint, len(cats), rng)
+    first2 = np.stack(
+        [np.asarray(SEG_CLASSES[c][:2], np.int64) for c in cats])  # [16, 2]
+    parts = first2[cs[:, None], ys01].astype(np.int32)  # [n, npoint]
+    return xs, cs, parts
+
+
 def make_hard_shape_points(n, npoint, rng, noise=0.04):
     """6-class point-cloud task that does not saturate at 100% test accuracy
     (point analogue of make_hard_shape_voxels): classes share geometry

@@ -333,3 +333,38 @@ def test_accuracy_parity_voxel_small(monkeypatch):
                      backbone=name, lr=1e-3)
     assert r["best_jax"] > 0.4 and r["best_ref"] > 0.4, r
     assert r["gap_pts"] <= 1.5, r
+
+
+@pytest.mark.slow
+def test_accuracy_parity_partseg_small(monkeypatch):
+    """Scaled-down scripts/accuracy_parity.run_partseg: the north star's
+    second metric (ShapeNetPart instance mIoU) vs the reference's own
+    3DViT_1_layer PointTransformerSeg, with a 2-deep test backbone
+    registered in both frameworks' config dicts. Both sides start from
+    identical weights, see identical batches and LR/BN-momentum schedules,
+    and must converge to instance mIoUs within a few points (the full-depth
+    run lives in BASELINE.md 'Accuracy parity')."""
+    ap = _load("accuracy_parity")
+    ref_mod = refbridge.load_reference_module("models.3DViT_1_layer.model")
+    name = "accparity_tiny"
+    tiny = dict(patch_size=16, embed_dim=64, depth=2, num_heads=2,
+                mlp_ratio=4.0, qkv_bias=True)
+    monkeypatch.setitem(vit_mod.BACKBONES, name, tiny)
+    import functools
+
+    ref_cfg = dict(tiny)
+    ref_cfg["norm_layer"] = functools.partial(torch.nn.LayerNorm, eps=1e-6)
+    monkeypatch.setitem(
+        ref_mod.PointTransformerSeg._PointTransformerSeg__valid_model,
+        name, ref_cfg)
+    monkeypatch.setitem(
+        ref_mod.PointTransformerSeg
+        ._PointTransformerSeg__valid_model_pretrain_dict_url,
+        name, "unused://")
+
+    r = ap.run_partseg(epochs=3, batch=16, n_train=256, n_test=64,
+                       npoint=32, nneighbor=4, backbone=name, lr_step=2)
+    # chance instance mIoU on this task is ~0.45 (absent parts count 1.0);
+    # both sides must clear it and land near each other
+    assert r["best_jax"] > 0.6 and r["best_ref"] > 0.6, r
+    assert r["gap_pts"] <= 6.0, r
