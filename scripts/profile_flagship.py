@@ -70,8 +70,11 @@ def main(dtype=None, B=32, n=1024):
     print("staged", flush=True)
 
     # ---- anchor: the production scanned step (bench.py regime) ----
+    # state gets DONATED by the scanned run — build it from a device copy so
+    # `params` stays alive for the component timings below.
+    device_copy = jax.jit(lambda p: tmap(lambda v: v + 0.0, p))
     run = make_scanned_train_steps(model, tx, ds, None, unroll=4)
-    state = create_train_state(params, tx)
+    state = create_train_state(device_copy(params), tx)
     rng = np.random.RandomState(9)
     idxm = jnp.asarray(rng.randint(0, n, size=(250, B)).astype(np.int32))
     for trial in range(3):
