@@ -158,7 +158,11 @@ def main(dtype=None, B=32, n=1024):
         arrays, idx = args
         idx = idx + (c[0, 0] * 0).astype(jnp.int32)
         b = ds.gather_from(arrays, idx)
-        return c + b["x"].astype(jnp.float32)[0, 0, 0, 0] * 1e-12
+        # anchor EVERY gathered element (x and y): a single-scalar anchor
+        # lets XLA DCE the label gather and fold the slice into a near-
+        # single-element gather (the scalar-reduce trap; ADVICE round-3)
+        return (c + b["x"].astype(jnp.float32).sum() * 1e-12
+                + b["y"].astype(jnp.float32).sum() * 1e-12)
 
     gat_ms = time_carried("batch gather alone [B,30^3] u8 + labels",
                           gather_only, jnp.ones((8, 128), jnp.float32),

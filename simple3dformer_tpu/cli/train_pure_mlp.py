@@ -91,13 +91,9 @@ def main(argv=None):
     else:
         from .train_cls_voxel import load_voxel_arrays
 
-        class A:
-            pass
-
-        a = A()
-        a.dataset, a.data_root, a.synthetic = args.dataset, args.data_root, 0
-        a.reweighted, a.batchSize, a.seed = False, args.batchSize, args.seed
-        tr_x, tr_y, te_x, te_y, n_classes, _, _ = load_voxel_arrays(a)
+        tr_x, tr_y, te_x, te_y, n_classes, _, _ = load_voxel_arrays(
+            args.dataset, args.data_root, min_test=args.batchSize,
+            seed=args.seed)
 
     if tr_x.shape[1] < V:  # zero-pad ModelNet 30^3 -> 32^3
         pad = V - tr_x.shape[1]

@@ -89,9 +89,9 @@ def save_plots(voxel, mask, joint, grid, out_dir):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
-    args.batchSize = 1
-    args.reweighted = False
-    tr_x, tr_y, _, _, n_classes, voxel_size, _ = load_voxel_arrays(args)
+    tr_x, tr_y, _, _, n_classes, voxel_size, _ = load_voxel_arrays(
+        args.dataset, args.data_root, args.synthetic, min_test=1,
+        seed=args.seed)
 
     emb = make_embed_layer(
         args.embed_layer, voxel_size=voxel_size, cell_size=args.cell_size,
