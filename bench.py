@@ -33,10 +33,15 @@ optimistic end). vs_baseline = value / REF_GPU_SPS; still a *derived*
 number — no CUDA host exists here — but now anchored to a measured decode
 cost instead of a guessed one. Details: BASELINE.md round-3.
 
-Secondary metrics re-measure the two point-cloud workloads the round-1
-verdict flagged (S3DIS semseg, ShapeNetPart seg) by driving the actual CLIs
-on synthetic data and parsing their epoch-2 (post-compile) rate lines, so
-BENCH_r*.json makes point-path regressions machine-visible.
+Secondary metrics re-measure EVERY trainable workload family (round-4:
+S3DIS semseg, ShapeNetPart seg x2 configs, Hengshuang cls, ScanObjectNN
+cls, ViP-3D pure_mlp, ShapeNetV2 group_embed bf16+packed, plus the
+flagship throughput mode) by driving the actual CLIs on synthetic data and
+parsing their epoch-2 (post-compile) rate lines, so BENCH_r*.json makes
+regressions in any family machine-visible. Because the chip is shared
+(CLAUDE.md: contention blips of >1.5x have been observed), any measurement
+>10% below its standing BASELINE.md record is re-measured once and the
+best of the two kept (repeat-on-suspicion, VERDICT r3 weak #4).
 
 Measured headroom beyond the recipe defaults (same chip): batch 256 + bf16
 compute reaches ~22.7k samples/sec/chip (`python bench.py --bf16 --batch=256`);
@@ -171,13 +176,44 @@ def _flagship_throughput(dtype=None, batch=BATCH):
     }
 
 
+# Standing BASELINE.md records per metric key (repeat-on-suspicion): a
+# single-shot secondary on a shared chip can read a contention blip as a
+# regression (round-3's hengshuang secondary read 583.8 vs the same-day
+# record 614). Any measurement below 90% of its record is re-measured once
+# and the best kept; both readings land in the JSON for auditability.
+RECORDS = {
+    "modelnet40_voxel_train_samples_per_sec_per_chip": 17220.0,
+    "modelnet40_voxel_throughput_mode_bf16_b256_samples_per_sec_per_chip": 30745.0,
+    "s3dis_semseg_bf16_samples_per_sec_per_chip": 86.2,
+    "partseg_3DViT_bf16_samples_per_sec_per_chip": 1082.0,
+    "partseg_3DViT_1_layer_bf16_samples_per_sec_per_chip": 1501.0,
+    "hengshuang_cls_bf16_samples_per_sec_per_chip": 614.0,
+    "scanobjectnn_cls_bf16_samples_per_sec_per_chip": 820.0,
+    # round-4 first-ever records land here once measured (ViP-3D, group_embed)
+}
+
+
+def _retry_if_suspicious(entry: dict, measure) -> dict:
+    rec = RECORDS.get(entry.get("metric"))
+    v = entry.get("value")
+    if rec and v is not None and v < 0.9 * rec:
+        second = measure()
+        v2 = second.get("value") if isinstance(second, dict) else second
+        if v2 is not None and v2 > v:
+            entry = dict(second) if isinstance(second, dict) else dict(entry)
+            entry["value"] = v2
+        entry["suspicious_first_reading"] = v
+    return entry
+
+
 def main(dtype=None, batch=BATCH, quiet=False):
-    r = _flagship_throughput(dtype=dtype, batch=batch)
-    line = {
-        "metric": "modelnet40_voxel_train_samples_per_sec_per_chip",
-        **r,
-        "vs_baseline": round(r["value"] / REF_GPU_SPS, 3),
-    }
+    def measure():
+        r = _flagship_throughput(dtype=dtype, batch=batch)
+        return {"metric": "modelnet40_voxel_train_samples_per_sec_per_chip",
+                **r}
+
+    line = _retry_if_suspicious(measure(), measure)
+    line["vs_baseline"] = round(line["value"] / REF_GPU_SPS, 3)
     if not quiet:
         line["secondary"] = secondary_metrics()
         print(json.dumps(line))
@@ -187,16 +223,19 @@ def main(dtype=None, batch=BATCH, quiet=False):
 _RATE = re.compile(r"\(([0-9.]+) samples/sec\)")
 
 
-def _cli_rate(main_fn, argv) -> float | None:
+def _cli_rate(main_fn, argv, out_style="hydra") -> float | None:
     """Drive a CLI main on synthetic data; return the last epoch's rate
     (epoch 1 is compile-dominated; the run uses 2 epochs). A FRESH out_dir
     every call: a reused one holds the previous run's checkpoint and the CLI
-    resumes past the target epoch, training zero steps."""
+    resumes past the target epoch, training zero steps. out_style picks the
+    CLI surface: hydra key=value vs argparse --outf."""
     out_dir = tempfile.mkdtemp(prefix="bench_cli_")
+    extra = ([f"out_dir={out_dir}"] if out_style == "hydra"
+             else ["--outf", out_dir])
     buf = io.StringIO()
     try:
         with contextlib.redirect_stdout(buf):
-            main_fn(argv + [f"out_dir={out_dir}"])
+            main_fn(argv + extra)
     except Exception:
         return None
     finally:
@@ -206,7 +245,7 @@ def _cli_rate(main_fn, argv) -> float | None:
 
 
 def secondary_metrics() -> list:
-    """Point-workload throughput via the real CLIs (BASELINE.md round-2),
+    """Every trainable workload family via its real CLI (VERDICT r3 #3),
     plus the flagship's throughput mode (batch 256 bf16) with its MFU.
 
     Partseg is measured at BOTH its configs so the numbers line up with
@@ -214,33 +253,70 @@ def secondary_metrics() -> list:
     reference's config/partseg.yaml selects) and model=3DViT_1_layer (the
     round-2c record config, 1510 samples/sec bf16). Model names are in the
     metric keys so neither reads as a regression of the other.
-    """
-    from simple3dformer_tpu.cli import train_cls, train_partseg, train_s3dis_semseg
+
+    ViP-3D runs f32 (the reference's train_pure_mlp.py recipe has no AMP
+    and our CLI mirrors its surface, which has no dtype flag). The
+    ShapeNetV2 group_embed leg is the round-3b honest best path — bf16 +
+    auto pillar packing at the B=16 / 128^3 / cell 9 / deit_base recipe —
+    at synthetic=48 (3 steps/epoch: 128^3 corpora must stay under the
+    ~100 MB host->device wedge threshold, CLAUDE.md round-3)."""
+    from simple3dformer_tpu.cli import (train_cls, train_cls_scanobjectnn,
+                                        train_cls_voxel, train_partseg,
+                                        train_pure_mlp, train_s3dis_semseg)
 
     out = []
-    tm = _flagship_throughput(dtype=jnp.bfloat16, batch=256)
-    out.append({"metric":
-                "modelnet40_voxel_throughput_mode_bf16_b256_samples_per_sec_per_chip",
-                **tm})
-    r = _cli_rate(train_s3dis_semseg.main,
-                  ["synthetic=256", "epoch=2", "dtype=bf16"])
-    if r is not None:
-        out.append({"metric": "s3dis_semseg_bf16_samples_per_sec_per_chip",
-                    "value": r, "unit": "samples/sec/chip"})
+
+    def add(metric, measure, **extra_fields):
+        entry = measure()
+        if entry is None:
+            return
+        if not isinstance(entry, dict):
+            entry = {"metric": metric, "value": entry,
+                     "unit": "samples/sec/chip", **extra_fields}
+        entry = _retry_if_suspicious(entry, lambda: measure() or {})
+        out.append(entry)
+
+    def tm():
+        r = _flagship_throughput(dtype=jnp.bfloat16, batch=256)
+        return {"metric": ("modelnet40_voxel_throughput_mode_bf16_b256_"
+                           "samples_per_sec_per_chip"), **r}
+
+    add("modelnet40_voxel_throughput_mode_bf16_b256_samples_per_sec_per_chip",
+        tm)
+    add("s3dis_semseg_bf16_samples_per_sec_per_chip",
+        lambda: _cli_rate(train_s3dis_semseg.main,
+                          ["synthetic=256", "epoch=2", "dtype=bf16"]))
     for model in ("3DViT", "3DViT_1_layer"):
-        r = _cli_rate(train_partseg.main,
-                      [f"model={model}", "synthetic=1024", "epoch=2",
-                       "batch_size=16", "dtype=bf16"])
-        if r is not None:
-            out.append({"metric":
-                        f"partseg_{model}_bf16_samples_per_sec_per_chip",
-                        "value": r, "unit": "samples/sec/chip"})
-    r = _cli_rate(train_cls.main,
-                  ["model=Hengshuang", "synthetic=512", "epoch=2",
-                   "dtype=bf16"])
-    if r is not None:
-        out.append({"metric": "hengshuang_cls_bf16_samples_per_sec_per_chip",
-                    "value": r, "unit": "samples/sec/chip"})
+        add(f"partseg_{model}_bf16_samples_per_sec_per_chip",
+            lambda m=model: _cli_rate(
+                train_partseg.main,
+                [f"model={m}", "synthetic=1024", "epoch=2",
+                 "batch_size=16", "dtype=bf16"]))
+    add("hengshuang_cls_bf16_samples_per_sec_per_chip",
+        lambda: _cli_rate(train_cls.main,
+                          ["model=Hengshuang", "synthetic=512", "epoch=2",
+                           "dtype=bf16"]))
+    add("scanobjectnn_cls_bf16_samples_per_sec_per_chip",
+        lambda: _cli_rate(train_cls_scanobjectnn.main,
+                          ["synthetic=512", "epoch=2", "batch_size=32",
+                           "dtype=bf16"]))
+    add("vip3d_pure_mlp_f32_samples_per_sec_per_chip",
+        lambda: _cli_rate(train_pure_mlp.main,
+                          ["--dataset", "ModelNet40", "--synthetic", "512",
+                           "--batchSize", "32", "--epochs", "2",
+                           "--model-name", "vip3d_s7",
+                           "--embed-layer", "VoxelEmbed_m40_vip_s7"],
+                          out_style="argparse"))
+    add("shapenetv2_group_embed_bf16_samples_per_sec_per_chip",
+        lambda: _cli_rate(train_cls_voxel.main,
+                          ["--dataset", "ShapeNetV2", "--synthetic", "48",
+                           "--batchSize", "16", "--epochs", "2",
+                           "--transformer-name", "deit_base_patch16_224",
+                           "--embed-layer", "VoxelEmbed_no_average",
+                           "--cell-size", "9", "--patch-size", "14",
+                           "--pos-embedding", "group_embed",
+                           "--lr", "1e-3", "--dtype", "bf16"],
+                          out_style="argparse"))
     return out
 
 
