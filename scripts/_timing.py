@@ -53,7 +53,12 @@ def _run(fn, args, reps):
     def scanned(*a):
         def body(c, _):
             r = fn(*_perturb_first_float_leaf(a, c))
-            return c + r.reshape(-1)[0].astype(jnp.float32), None
+            # anchor the MEAN of every output element, not element [0]: a
+            # single-element anchor lets XLA slice whole batch rows out of
+            # shape-preserving forwards (ViP-3D stage1+ blocks measured
+            # 0.02 ms for 6.6 GFLOP — 330 TFLOP/s, impossible — under the
+            # old [0] anchor; round-4). The mean makes every element live.
+            return c + jnp.mean(r).astype(jnp.float32), None
 
         out, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
         return out

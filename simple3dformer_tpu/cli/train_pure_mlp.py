@@ -66,6 +66,11 @@ def build_argparser():
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
     p.add_argument("--outf", type=str, default="./cls")
+    p.add_argument("--dtype", type=str, default="f32", choices=["f32", "bf16"],
+                   help="compute dtype (params stay f32). The reference "
+                        "trains f32 only (no AMP in train_pure_mlp.py); "
+                        "bf16 is this framework's opt-in throughput mode, "
+                        "as in the other CLIs")
     return p
 
 

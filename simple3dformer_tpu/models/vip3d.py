@@ -32,11 +32,47 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..nn.layers import DropPath, Mlp, dense
+from ..nn.layers import DropPath, Mlp, dense, trunc_normal_init
+from ..ops.pointops import _env_switch
+
+
+class _DenseParams(nn.Module):
+    """Declare an nn.Dense-shaped parameter set (kernel [in, out] + optional
+    bias) without the Dense forward, so einsum paths can share the exact
+    param tree (same names/shapes/init) with the reference-shaped path."""
+
+    in_features: int
+    out_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", trunc_normal_init,
+                       (self.in_features, self.out_features))
+        b = (self.param("bias", nn.initializers.zeros, (self.out_features,))
+             if self.use_bias else None)
+        return k, b
 
 
 class WeightedPermuteMLP(nn.Module):
-    """Axis-mixing MLP with a 4-way softmax reweight gate (vip_3d.py:43-88)."""
+    """Axis-mixing MLP with a 4-way softmax reweight gate (vip_3d.py:43-88).
+
+    Two mathematically identical execution paths (same params, same sums,
+    FP reassociation aside):
+
+      * einsum (default on): each axis mix is ONE two-axis-contraction
+        einsum over the unfolded [B,H,W,Z,seg,S] tensor — the reference's
+        6-D transpose -> fold -> dense -> unfold -> transpose chain is
+        expressed as output-axis placement inside the einsum (the W/Z-swap
+        quirk becomes the 'bgzwst' output order of the h branch), letting
+        XLA fuse the layout work into the contraction instead of
+        materializing transposed copies. Round-4 attribution measured the
+        explicit-transpose branch at ~3x the cost of its same-FLOP channel
+        dense (0.28 vs 0.09 ms at stage-0 shapes) — pure data movement.
+      * reference-shaped (S3F_VIP_EINSUM=0): the literal transpose chain,
+        kept for readable parity with vip_3d.py:57-76 and as the oracle
+        for the equality test (tests/test_vip3d.py).
+    """
 
     segment_dim: int = 8
     qkv_bias: bool = False
@@ -50,28 +86,60 @@ class WeightedPermuteMLP(nn.Module):
         S = C // seg
         T = C // H
 
-        mlp_h = dense(C, use_bias=self.qkv_bias, dtype=self.dtype, name="mlp_h")
-        mlp_w = dense(C, use_bias=self.qkv_bias, dtype=self.dtype, name="mlp_w")
-        mlp_c = dense(C, use_bias=self.qkv_bias, dtype=self.dtype, name="mlp_c")
+        use_einsum = _env_switch("S3F_VIP_EINSUM")
+        if use_einsum is None:
+            use_einsum = True
 
-        h = x.reshape(B, H, W, Z, seg, S).transpose(0, 4, 3, 2, 1, 5)
-        h = mlp_h(h.reshape(B, seg, Z, W, H * S))
-        # (0,4,2,3,1,5), not the true inverse (0,4,3,2,1,5): the reference's
-        # W/Z-swapped h-branch restore (vip_3d.py:71) — see module docstring.
-        h = h.reshape(B, seg, Z, W, H, T).transpose(0, 4, 2, 3, 1, 5)
-        h = h.reshape(B, H, W, Z, C)
+        if use_einsum:
+            kh, bh = _DenseParams(C, C, self.qkv_bias, name="mlp_h")()
+            kw, bw = _DenseParams(C, C, self.qkv_bias, name="mlp_w")()
+            cdt = self.dtype or x.dtype
+            x6 = x.reshape(B, H, W, Z, seg, S).astype(cdt)
+            # kernel [C_in, C_out] unfolds to [axis, S, axis_out, T] (the
+            # folded token axis is major: in = h*S + i, out = g*T + t)
+            w4h = kh.reshape(H, S, H, T).astype(cdt)
+            w4w = kw.reshape(W, S, W, T).astype(cdt)
+            # h mix: output order bgzwst IS the reference's W/Z-swapped
+            # restore (vip_3d.py:71) — g lands on the H axis, z on W, w on Z
+            h6 = jnp.einsum("bhwzsi,higt->bgzwst", x6, w4h)
+            w6 = jnp.einsum("bhwzsi,wigt->bhgzst", x6, w4w)
+            # Z mix reuses mlp_w — reference quirk (vip_3d.py:75-76)
+            z6 = jnp.einsum("bhwzsi,zigt->bhwgst", x6, w4w)
+            if self.qkv_bias:
+                # dense bias indexes the folded output features (g, t):
+                # broadcast against each branch's g-axis position
+                h6 = h6 + bh.reshape(1, H, 1, 1, 1, T).astype(cdt)
+                w6 = w6 + bw.reshape(1, 1, W, 1, 1, T).astype(cdt)
+                z6 = z6 + bw.reshape(1, 1, 1, Z, 1, T).astype(cdt)
+            h = h6.reshape(B, H, W, Z, C)
+            w = w6.reshape(B, H, W, Z, C)
+            z = z6.reshape(B, H, W, Z, C)
+        else:
+            mlp_h = dense(C, use_bias=self.qkv_bias, dtype=self.dtype,
+                          name="mlp_h")
+            mlp_w = dense(C, use_bias=self.qkv_bias, dtype=self.dtype,
+                          name="mlp_w")
 
-        w = x.reshape(B, H, W, Z, seg, S).transpose(0, 1, 4, 3, 2, 5)
-        w = mlp_w(w.reshape(B, H, seg, Z, W * S))
-        w = w.reshape(B, H, seg, Z, W, T).transpose(0, 1, 4, 3, 2, 5)
-        w = w.reshape(B, H, W, Z, C)
+            h = x.reshape(B, H, W, Z, seg, S).transpose(0, 4, 3, 2, 1, 5)
+            h = mlp_h(h.reshape(B, seg, Z, W, H * S))
+            # (0,4,2,3,1,5), not the true inverse (0,4,3,2,1,5): the
+            # reference's W/Z-swapped h-branch restore (vip_3d.py:71).
+            h = h.reshape(B, seg, Z, W, H, T).transpose(0, 4, 2, 3, 1, 5)
+            h = h.reshape(B, H, W, Z, C)
 
-        # Z mix reuses mlp_w — reference quirk (vip_3d.py:75-76)
-        z = x.reshape(B, H, W, Z, seg, S).transpose(0, 2, 1, 4, 3, 5)
-        z = mlp_w(z.reshape(B, W, H, seg, Z * S))
-        z = z.reshape(B, W, H, seg, Z, T).transpose(0, 2, 1, 4, 3, 5)
-        z = z.reshape(B, H, W, Z, C)
+            w = x.reshape(B, H, W, Z, seg, S).transpose(0, 1, 4, 3, 2, 5)
+            w = mlp_w(w.reshape(B, H, seg, Z, W * S))
+            w = w.reshape(B, H, seg, Z, W, T).transpose(0, 1, 4, 3, 2, 5)
+            w = w.reshape(B, H, W, Z, C)
 
+            # Z mix reuses mlp_w — reference quirk (vip_3d.py:75-76)
+            z = x.reshape(B, H, W, Z, seg, S).transpose(0, 2, 1, 4, 3, 5)
+            z = mlp_w(z.reshape(B, W, H, seg, Z * S))
+            z = z.reshape(B, W, H, seg, Z, T).transpose(0, 2, 1, 4, 3, 5)
+            z = z.reshape(B, H, W, Z, C)
+
+        mlp_c = dense(C, use_bias=self.qkv_bias, dtype=self.dtype,
+                      name="mlp_c")
         c = mlp_c(x)
 
         a = jnp.mean((h + w + z + c).reshape(B, -1, C), axis=1)  # [B, C]

@@ -93,3 +93,35 @@ def test_vip3d_config_table():
     assert set(VIP3D_CONFIGS) == {"vip3d_s7", "vip3d_s14", "vip3d_m7", "vip3d_l7"}
     for cfg in VIP3D_CONFIGS.values():
         assert len(cfg["layers"]) == len(cfg["embed_dims"]) == 4
+
+
+def test_einsum_path_matches_reference_shaped_path(rng, monkeypatch):
+    """The einsum axis-mix path (default) and the literal transpose-chain
+    path (S3F_VIP_EINSUM=0) share one param tree and must produce the same
+    outputs AND param grads — including the W/Z-swap quirk and qkv_bias
+    broadcasting (round-4 layout optimization; BASELINE.md ViP-3D section)."""
+    B, H, C, seg = 2, 4, 16, 4
+    x = jnp.asarray(rng.randn(B, H, H, H, C).astype(np.float32))
+
+    for bias in (False, True):
+        mod = WeightedPermuteMLP(segment_dim=seg, qkv_bias=bias)
+        outs, grads = {}, {}
+        for tag, env in (("einsum", "1"), ("reference", "0")):
+            monkeypatch.setenv("S3F_VIP_EINSUM", env)
+            params = mod.init(jax.random.key(3), x)["params"]
+
+            def loss(p):
+                o = mod.apply({"params": p}, x)
+                return jnp.sum(o * jnp.cos(jnp.arange(o.size).reshape(o.shape)))
+
+            outs[tag] = np.asarray(mod.apply({"params": params}, x))
+            grads[tag] = jax.tree_util.tree_map(np.asarray,
+                                                jax.grad(loss)(params))
+        np.testing.assert_allclose(outs["einsum"], outs["reference"],
+                                   rtol=1e-5, atol=1e-6)
+        ga = jax.tree_util.tree_leaves_with_path(grads["einsum"])
+        gb = jax.tree_util.tree_leaves_with_path(grads["reference"])
+        assert [str(k) for k, _ in ga] == [str(k) for k, _ in gb]
+        for (ka, va), (_, vb) in zip(ga, gb):
+            np.testing.assert_allclose(va, vb, rtol=1e-4, atol=1e-5,
+                                       err_msg=str(ka))
