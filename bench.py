@@ -189,7 +189,11 @@ RECORDS = {
     "partseg_3DViT_1_layer_bf16_samples_per_sec_per_chip": 1501.0,
     "hengshuang_cls_bf16_samples_per_sec_per_chip": 614.0,
     "scanobjectnn_cls_bf16_samples_per_sec_per_chip": 820.0,
-    # round-4 first-ever records land here once measured (ViP-3D, group_embed)
+    # ViP-3D first chip record (BASELINE round-4a: 18.46-18.50 ms/step
+    # B=32 f32 scanned production step, einsum axis-mix path e2e parity
+    # with the transpose chain). The CLI epoch rate includes eval/host
+    # bookkeeping, so its record sits below the pure-step 1,730.
+    "vip3d_pure_mlp_f32_samples_per_sec_per_chip": 1500.0,
 }
 
 

@@ -712,10 +712,17 @@ def main():
                     help="StepLR period in epochs (default: track-native "
                          "20 voxel / 50 point)")
     ap.add_argument("--lr-gamma", type=float, default=None)
+    ap.add_argument("--noise", type=float, default=None,
+                    help="synthetic-task noise level (voxel track: fraction "
+                         "of bits flipped; default 0.06). The first 18-epoch "
+                         "full-depth run showed BOTH frameworks still "
+                         "climbing at 0.06 — converged comparison needs a "
+                         "saturable setting.")
     args = ap.parse_args()
     if args.track == "voxel":
         run_voxel(epochs=args.epochs, batch=args.batch, n_train=args.n_train,
                   n_test=args.n_test, seed=args.seed, backbone=args.backbone,
+                  noise=args.noise if args.noise is not None else 0.06,
                   lr_step=args.lr_step or 20, lr_gamma=args.lr_gamma or 0.5)
     elif args.track == "partseg":
         run_partseg(epochs=args.epochs, batch=args.batch, seed=args.seed,

@@ -124,6 +124,34 @@ def make_partseg_parts(n, npoint, rng):
     return xs, cs, parts
 
 
+def make_semseg_points(n, npoint, rng, n_cls=13, label_noise=0.08,
+                       color_noise=0.25):
+    """S3DIS-shaped synthetic semantic segmentation that does not saturate.
+
+    9-dim features per point (xyz, rgb, normalized xyz — the layout
+    /root/reference/data/s3dis.py:69-76 builds); the 13-way label is the
+    band index of the point's projection onto a fixed tilted direction,
+    with the band boundary jittered (`label_noise` on the projection) so
+    the task has irreducible error at the boundaries — converged accuracy
+    lands below 100% where a framework gap would be visible. The red
+    channel carries a noisy copy of the band (S3DIS models lean on color),
+    green/blue are noise. Returns (xs [n,npoint,9] f32, ys [n,npoint] i32).
+    """
+    d = np.array([0.55, 0.65, 0.52], np.float32)
+    d /= np.linalg.norm(d)
+    xyz = rng.uniform(-1, 1, (n, npoint, 3)).astype(np.float32)
+    t = xyz @ d
+    t_noisy = t + rng.randn(n, npoint).astype(np.float32) * label_noise
+    lo, hi = -1.05, 1.05
+    ys = np.clip(((t_noisy - lo) / (hi - lo) * n_cls).astype(np.int32),
+                 0, n_cls - 1)
+    r = ys / (n_cls - 1) + rng.randn(n, npoint) * color_noise
+    gb = rng.rand(n, npoint, 2)
+    rgb = np.clip(np.stack([r, gb[..., 0], gb[..., 1]], -1), 0, 1)
+    xs = np.concatenate([xyz, rgb.astype(np.float32), (xyz + 1) / 2], -1)
+    return xs, ys.astype(np.int32)
+
+
 def make_hard_shape_points(n, npoint, rng, noise=0.04):
     """6-class point-cloud task that does not saturate at 100% test accuracy
     (point analogue of make_hard_shape_voxels): classes share geometry

@@ -112,11 +112,19 @@ def main(argv=None):
         meter = SemSegMeter(NUM_CLASS)
         meter.update(np.argmax(logits, -1), te_y)
         acc, macc, miou = meter.accuracy, meter.mean_class_accuracy, meter.miou
-        print(f"eval accuracy: {acc:f}  mAcc: {macc:f}  mIoU: {miou:f}")
-        if miou >= best_miou:
-            best_miou = miou
-            ckpt.save(epoch, state, {"accuracy": acc, "mAcc": macc, "mIoU": miou})
-    print(f"Best mIoU: {best_miou:f}")
+        inst_iou = meter.instance_avg_iou
+        # the reference logs class-avg + "Inctance avg" IoU and saves best
+        # checkpoints on the latter (train_s3dis_semseg.py:231-237); the
+        # standard global mIoU is printed alongside for comparability
+        print(f"eval accuracy: {acc:f}  mAcc: {macc:f}  mIoU: {miou:f}  "
+              f"Class avg mIOU: {meter.class_avg_iou:f}  "
+              f"Inctance avg mIOU: {inst_iou:f}")
+        if inst_iou >= best_miou:
+            best_miou = inst_iou
+            ckpt.save(epoch, state, {"accuracy": acc, "mAcc": macc,
+                                     "mIoU": miou,
+                                     "instance_avg_iou": inst_iou})
+    print(f"Best Inctance avg mIOU: {best_miou:f}")
     return best_miou
 
 

@@ -138,23 +138,64 @@ class PartSegMeter:
 
 
 class SemSegMeter:
-    """S3DIS point accuracy / mean class accuracy / mIoU (13 classes)."""
+    """S3DIS point accuracy / mean class accuracy / mIoU (13 classes).
+
+    Two IoU conventions coexist, both provided:
+      * ``miou`` — the standard global per-class IoU mean (what most
+        S3DIS papers report);
+      * ``class_avg_iou`` / ``instance_avg_iou`` — the reference's OWN
+        bookkeeping (train_s3dis_semseg.py:181,201-231): every class is
+        its own single-label 'category', a sample's category is decided by
+        its FIRST point's label (seg_label_to_cat[segl[0]], :208), and the
+        per-sample IoU is computed for that one class only; instance-avg
+        averages over samples, class-avg over per-category means. The
+        reference saves best checkpoints on instance_avg_iou (:237).
+        Per-sample tracking needs 2-D [B, N] updates (the CLI's shape);
+        flat 1-D updates feed only the global counters.
+    """
 
     def __init__(self, num_classes: int = 13):
         self.num_classes = num_classes
         self.total_seen = np.zeros(num_classes, dtype=np.int64)
         self.total_correct = np.zeros(num_classes, dtype=np.int64)
         self.total_union = np.zeros(num_classes, dtype=np.int64)
+        self.shape_ious: dict[int, list[float]] = {
+            c: [] for c in range(num_classes)
+        }
 
     def update(self, pred: np.ndarray, label: np.ndarray) -> None:
-        pred = np.asarray(pred).reshape(-1)
-        label = np.asarray(label).reshape(-1)
+        pred = np.asarray(pred)
+        label = np.asarray(label)
+        if pred.ndim >= 2:
+            p2 = pred.reshape(-1, pred.shape[-1])
+            l2 = label.reshape(-1, label.shape[-1])
+            for i in range(p2.shape[0]):
+                c = int(l2[i, 0])  # category := first point's label (:208)
+                gt = l2[i] == c
+                pd = p2[i] == c
+                union = int((gt | pd).sum())
+                # the reference's absent-part branch (:210-212): no points
+                # of c and no predictions of c -> IoU 1.0
+                iou = 1.0 if union == 0 else float((gt & pd).sum()) / union
+                self.shape_ious[c].append(iou)
+        pred = pred.reshape(-1)
+        label = label.reshape(-1)
         for c in range(self.num_classes):
             gt = label == c
             pd = pred == c
             self.total_seen[c] += int(gt.sum())
             self.total_correct[c] += int((gt & pd).sum())
             self.total_union[c] += int((gt | pd).sum())
+
+    @property
+    def class_avg_iou(self) -> float:
+        means = [np.mean(v) for v in self.shape_ious.values() if v]
+        return float(np.mean(means)) if means else 0.0
+
+    @property
+    def instance_avg_iou(self) -> float:
+        alls = [i for v in self.shape_ious.values() for i in v]
+        return float(np.mean(alls)) if alls else 0.0
 
     @property
     def accuracy(self) -> float:

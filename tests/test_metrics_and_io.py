@@ -49,6 +49,40 @@ def test_semseg_meter():
     assert abs(m.miou - np.nanmean([1.0, 0.5, 0.0])) < 1e-9
 
 
+def test_semseg_meter_reference_iou_conventions():
+    """class_avg_iou / instance_avg_iou against a literal transcription of
+    the reference's bookkeeping (train_s3dis_semseg.py:181,201-231): a
+    sample's 'category' is its FIRST point's label and the per-sample IoU
+    is computed for that single class only."""
+    rng = np.random.RandomState(0)
+    pred = rng.randint(0, 4, size=(8, 16))
+    label = rng.randint(0, 4, size=(8, 16))
+    m = M.SemSegMeter(4)
+    m.update(pred[:5], label[:5])
+    m.update(pred[5:], label[5:])
+
+    shape_ious = {c: [] for c in range(4)}
+    for i in range(8):
+        segp, segl = pred[i], label[i]
+        cat = segl[0]
+        part_ious = []
+        for l in [cat]:  # seg_classes[cat] is the single-label list [cat]
+            if (np.sum(segl == l) == 0) and (np.sum(segp == l) == 0):
+                part_ious.append(1.0)
+            else:
+                part_ious.append(np.sum((segl == l) & (segp == l))
+                                 / float(np.sum((segl == l) | (segp == l))))
+        shape_ious[cat].append(float(np.mean(part_ious)))
+    all_ious = [x for v in shape_ious.values() for x in v]
+    cls_avg = np.mean([np.mean(v) for v in shape_ious.values() if v])
+    assert abs(m.instance_avg_iou - np.mean(all_ious)) < 1e-12
+    assert abs(m.class_avg_iou - cls_avg) < 1e-12
+    # 1-D (flat) updates keep feeding the global counters only
+    m2 = M.SemSegMeter(4)
+    m2.update(pred.reshape(-1), label.reshape(-1))
+    assert m2.instance_avg_iou == 0.0 and m2.accuracy == m.accuracy
+
+
 def test_binvox_roundtrip(rng):
     data = rng.rand(16, 16, 16) > 0.6
     v = binvox.Voxels(data, [16, 16, 16], [0.0, 0.0, 0.0], 1.0, "xyz")
