@@ -105,7 +105,12 @@ def _flagship_throughput(dtype=None, batch=BATCH):
     x0 = jnp.zeros((2, 30, 30, 30))
     variables = jax.jit(model.init)(jax.random.key(9), x0)
     params = variables["params"]
-    tx = make_optimizer("Adam", trainable_mask=frozen_mask(params, True))
+    # throughput mode (bf16 compute) also takes bf16-nu Adam state — the
+    # round-4c anatomy puts the Adam HBM pass at 1.6 ms of the 1.84 ms
+    # packed step, and bf16 mode has already waived reference-exact
+    # numerics. The f32 recipe keeps torch.optim.Adam's f32 state.
+    tx = make_optimizer("Adam", trainable_mask=frozen_mask(params, True),
+                        bf16_nu=dtype is not None)
     state = jax.device_put(create_train_state(params, tx), rules.params)
 
     rng = np.random.RandomState(9)
@@ -190,10 +195,11 @@ RECORDS = {
     "hengshuang_cls_bf16_samples_per_sec_per_chip": 614.0,
     "scanobjectnn_cls_bf16_samples_per_sec_per_chip": 820.0,
     # ViP-3D first chip record (BASELINE round-4a: 18.46-18.50 ms/step
-    # B=32 f32 scanned production step, einsum axis-mix path e2e parity
-    # with the transpose chain). The CLI epoch rate includes eval/host
-    # bookkeeping, so its record sits below the pure-step 1,730.
-    "vip3d_pure_mlp_f32_samples_per_sec_per_chip": 1500.0,
+    # B=32 f32 scanned production step = 1,730 samples/sec, einsum
+    # axis-mix path e2e parity with the transpose chain). The CLI epoch
+    # rate includes eval/host bookkeeping: measured 1559.3 / 1560.7 on
+    # the bench invocation itself (2 trials, 2026-08-19).
+    "vip3d_pure_mlp_f32_samples_per_sec_per_chip": 1560.0,
 }
 
 

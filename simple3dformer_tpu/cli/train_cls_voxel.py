@@ -74,6 +74,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
     p.add_argument("--dtype", type=str, default="f32", choices=["f32", "bf16"],
                    help="compute dtype (params stay f32)")
+    p.add_argument("--bf16-nu", type=str, default="auto",
+                   choices=["auto", "0", "1"],
+                   help="store Adam's second moment in bfloat16 (+3.5%% e2e; "
+                        "the Adam HBM pass is the packed step's largest "
+                        "non-matmul term — BASELINE round-4c). auto = on "
+                        "iff --dtype bf16: throughput mode already trades "
+                        "reference-exact numerics, the f32 recipe keeps "
+                        "torch.optim.Adam's f32 state")
     p.add_argument("--zero1", action="store_true",
                    help="shard Adam moments over the data axis (ZeRO-1, "
                         "parallel/zero.py); params stay replicated")
@@ -185,8 +193,11 @@ def main(argv=None):
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     print(f"Number of parameters: {n_params / 1e6:.2f}M")
 
+    bf16_nu = (dtype is not None) if args.bf16_nu == "auto" \
+        else args.bf16_nu == "1"
     tx = make_optimizer(
-        "Adam", trainable_mask=frozen_mask(params, args.pretrained)
+        "Adam", trainable_mask=frozen_mask(params, args.pretrained),
+        bf16_nu=bf16_nu,
     )
     state = create_train_state(params, tx)
     state_sh = None

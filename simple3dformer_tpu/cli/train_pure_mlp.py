@@ -110,13 +110,15 @@ def main(argv=None):
     test_ds = DeviceResidentDataset({"x": te_x, "y": te_y}, mesh=mesh)
     print(f"train {len(tr_x)} / test {len(te_x)}")
 
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else None
     emb = VoxelEmbedNoAverage(
         voxel_size=V, cell_size=emb_cfg["cell_size"],
         patch_size=V // emb_cfg["cell_size"], embed_dim=emb_cfg["embed_dim"],
+        dtype=dtype,
     )
     model = VisionPermutator3D.from_name(
         args.model_name, embed_layer=emb, num_classes=n_classes,
-        drop_path_rate=args.drop_path,
+        drop_path_rate=args.drop_path, dtype=dtype,
         pos_embedding=args.pos_embedding if args.pos_embedding == "PEG" else None,
     )
     key = jax.random.key(args.seed)

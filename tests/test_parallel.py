@@ -343,6 +343,50 @@ def test_zero1_matches_replicated_adam(rng):
     assert big.addressable_shards[0].data.size == big.size // 8
 
 
+def test_zero1_composes_with_bf16_nu(rng):
+    """bf16-nu Adam (throughput-mode default since round-4c) under ZeRO-1:
+    sharding the dict-based {count, mu, nu} state is a pure layout change
+    (identical losses) and the bf16 nu leaves are actually partitioned."""
+    from simple3dformer_tpu.models.voxel_vit import frozen_mask
+    from simple3dformer_tpu.parallel.zero import (sharded_fraction,
+                                                  zero1_state_shardings)
+
+    x = (rng.rand(32, 8, 8, 8) > 0.7).astype(np.uint8)
+    y = rng.randint(0, 4, size=(32,)).astype(np.int32)
+    emb = VoxelEmbed(voxel_size=8, cell_size=4, patch_size=2, embed_dim=192)
+    model = VoxelViT(voxel_embed=emb, n_classes=4,
+                     transformer_backbone="deit_tiny_patch16_224")
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, 8, 8, 8)))
+    idx = rng.randint(0, 32, size=(2, 16)).astype(np.int32)
+
+    mesh = make_mesh(n_data=8)
+    rules = ShardingRules(mesh)
+    ds = DeviceResidentDataset({"x": x, "y": y}, mesh=mesh)
+    tx = make_optimizer("Adam", bf16_nu=True,
+                        trainable_mask=frozen_mask(variables["params"], True))
+
+    def run_with(zero):
+        params = jax.tree_util.tree_map(jnp.array, variables["params"])
+        state = create_train_state(params, tx)
+        sh = zero1_state_shardings(state, mesh) if zero else rules.params
+        state = jax.device_put(state, sh)
+        run = make_scanned_train_steps(model, tx, ds, rules,
+                                       state_shardings=sh if zero else None)
+        state, metrics = run(state, rules.put_scan_idx(idx), 1e-3,
+                             jax.random.key(7))
+        return state, np.asarray(jax.device_get(metrics["loss"]))
+
+    state_rep, loss_rep = run_with(False)
+    state_z, loss_z = run_with(True)
+    np.testing.assert_allclose(loss_rep, loss_z, rtol=1e-5, atol=1e-6)
+    assert sharded_fraction(state_z) > 0.9
+    nu_leaves = [l for l in jax.tree_util.tree_leaves(state_z.opt_state)
+                 if l.dtype == jnp.bfloat16]
+    assert nu_leaves, "no bf16 nu leaf in the ZeRO-sharded state"
+    assert any("data" in str(getattr(l.sharding, "spec", ""))
+               for l in nu_leaves)
+
+
 def test_zero1_shardings_shapes():
     """Leaf rule: first evenly-divisible axis sharded, scalars replicated."""
     import optax
