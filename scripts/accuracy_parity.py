@@ -442,6 +442,198 @@ def run_partseg(epochs=10, batch=32, lr=1e-3, n_train=1024, n_test=512,
     return out
 
 
+def run_partseg_lwf(epochs=10, batch=16, lr=1e-3, n_train=512, n_test=256,
+                    seed=0, npoint=128, nneighbor=8, M=16, lam=0.1,
+                    backbone="deit_tiny_patch16_224", lr_step=4,
+                    lr_gamma=0.5):
+    """LwF joint objective vs the reference's OWN code end to end: the
+    3DViT_1_layer PointTransformerSeg student AND the reference's DeiT
+    teacher class (models/DeIT.py factory through the timm shim), both
+    initialized from OUR exported weights (export_pointvit_state_dict /
+    export_backbone_state_dict), trained under the joint loss of
+    /root/reference/train_partseg_lwf.py:208-227:
+
+        CE_seg(points) + lambda * CE(student.forward_images(imgs),
+                                     argmax(teacher(imgs)))
+
+    against our production `make_scanned_lwf_train_steps` scan path.
+    Identical synthetic parts corpus, identical image pool (uint8 noise at
+    224 — no ImageNet on disk; the distillation target is the frozen
+    teacher's label on that noise, a well-defined signal either way),
+    identical batch orders for BOTH streams, the reference's LR clip and
+    BN-momentum schedules on both sides. Converged best instance mIoU
+    compared (the LwF run's seg metric, train_partseg_lwf.py:298-303).
+
+    Deliberate deviations, identical on both sides: no RandomResizedCrop /
+    flip (the pool is noise; the production crop path is exercised by
+    tests/test_lwf and the trajectory harness), no per-epoch re-sampling
+    of the image subset (a fixed pool with per-epoch shuffled order
+    replaces train_partseg_lwf.py:194-195's fresh Subset), and the
+    partseg track's no-augmentation/plain-Adam conventions."""
+    from simple3dformer_tpu.cli.train_partseg import make_prepare_fn
+    from simple3dformer_tpu.models.point_vit import PointViT
+    from simple3dformer_tpu.nn.vit import make_teacher
+    from simple3dformer_tpu.train.eval_metrics import PartSegMeter
+    from simple3dformer_tpu.train.loop import seg_cross_entropy
+    from simple3dformer_tpu.train.lwf import (make_scanned_lwf_train_steps,
+                                              normalize_images)
+
+    ref_mod = refbridge.load_reference_module("models.3DViT_1_layer.model")
+    deit_mod = refbridge.load_reference_module("models.DeIT")
+    rng = np.random.RandomState(seed)
+    xs, cs, ss = synthetic_tasks.make_partseg_parts(n_train, npoint, rng)
+    xt, ct, st_ = synthetic_tasks.make_partseg_parts(n_test, npoint, rng)
+    input_dim = 3 + 16
+    steps_per_epoch = n_train // batch
+    n_images = steps_per_epoch * M
+    imgs_u8 = (rng.rand(n_images, 224, 224, 3) * 255).astype(np.uint8)
+
+    def build_model(torch_mom):
+        return PointViT(variant="3DViT_1_layer", task="seg",
+                        num_point=npoint, num_class=50, input_dim=input_dim,
+                        nneighbor=nneighbor, transformer_backbone=backbone,
+                        bn_momentum=1.0 - torch_mom)
+
+    model = build_model(0.9)
+    variables = jax.jit(
+        lambda k, a, b: model.init(k, a, b, method=model.init_all)
+    )(jax.random.key(seed), jnp.zeros((2, npoint, input_dim)),
+      jnp.zeros((1, 224, 224, 3)))
+    params_np = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    # frozen teacher: OUR init exported onto the reference's DeiT class
+    teacher = make_teacher(backbone)
+    t_params = jax.jit(teacher.init)(
+        jax.random.key(seed + 2), jnp.zeros((1, 224, 224, 3)))["params"]
+    t_params_np = jax.tree_util.tree_map(np.asarray, t_params)
+
+    # ---- reference-side models from identical weights ----
+    cfg = refbridge.make_point_cfg(npoint, 50, input_dim, nblocks=4,
+                                   nneighbor=nneighbor,
+                                   transformer_backbone=backbone,
+                                   pretrained=False, head="Linear")
+    torch.manual_seed(seed)
+    ref_model = ref_mod.PointTransformerSeg(cfg)
+    missing, unexpected = ref_model.load_state_dict(
+        refbridge.export_pointvit_state_dict(
+            params_np, input_dim, variables.get("batch_stats")),
+        strict=False)
+    assert not missing and not unexpected, (missing, unexpected)
+    factory = {"deit_tiny_patch16_224": deit_mod.deit_tiny_patch16_224,
+               "deit_small_patch16_224": deit_mod.deit_small_patch16_224,
+               "deit_base_patch16_224": deit_mod.deit_base_patch16_224}[
+        backbone]
+    ref_teacher = factory(pretrained=False)
+    missing, unexpected = ref_teacher.load_state_dict(
+        refbridge.export_backbone_state_dict(t_params_np), strict=False)
+    assert not missing and not unexpected, (missing, unexpected)
+    ref_teacher.eval()
+
+    order_rng = np.random.RandomState(seed + 1)
+    epoch_idx = [
+        order_rng.permutation(n_train)[: steps_per_epoch * batch]
+        .reshape(steps_per_epoch, batch)
+        for _ in range(epochs)
+    ]
+    img_idx = [
+        order_rng.permutation(n_images).reshape(steps_per_epoch, M)
+        for _ in range(epochs)
+    ]
+    lrs = [max(lr * (lr_gamma ** (e // lr_step)), 1e-5)
+           for e in range(epochs)]
+    moms = [max(0.9 * (0.5 ** (e // lr_step)), 0.01) for e in range(epochs)]
+
+    # ---- jax production LwF scan path ----
+    tx = make_optimizer("Adam")
+    prepare = make_prepare_fn()
+    ds = DeviceResidentDataset({"x": xs, "cls": cs, "y": ss})
+    image_ds = DeviceResidentDataset({"images": imgs_u8})
+    test_ds = DeviceResidentDataset({"x": xt, "cls": ct, "y": st_})
+    state = create_train_state(variables["params"], tx,
+                               variables.get("batch_stats"))
+    eb = next(b for b in range(min(64, n_test), 0, -1) if n_test % b == 0)
+    eval_idx = jnp.asarray(np.arange(n_test).reshape(-1, eb))
+
+    jax_iou, cur, t0 = [], None, time.time()
+    for e in range(epochs):
+        if moms[e] != cur:
+            cur = moms[e]
+            model = build_model(cur)
+            run = make_scanned_lwf_train_steps(
+                model, teacher, t_params, tx, ds, image_ds, None,
+                task_loss_fn=seg_cross_entropy, lambda_weight=lam,
+                has_batch_stats=True, prepare_fn=prepare)
+            evaluate = make_scanned_eval(model, test_ds, None,
+                                         has_batch_stats=True,
+                                         prepare_fn=prepare)
+        state, _ = run(state, jnp.asarray(epoch_idx[e]),
+                       jnp.asarray(img_idx[e]), lrs[e], jax.random.key(e))
+        logits = np.asarray(evaluate(state, eval_idx)).reshape(-1, npoint, 50)
+        meter = PartSegMeter()
+        meter.update(logits, st_)
+        jax_iou.append(meter.instance_avg_iou)
+        print(f"[jax]   epoch {e:2d} lr {lrs[e]:.2e} bn_mom {moms[e]:.3f} "
+              f"inst mIoU {jax_iou[-1]:.4f} ({time.time() - t0:.0f}s)",
+              flush=True)
+
+    # ---- reference joint loop (train_partseg_lwf.py:198-231 semantics) ---
+    def cat_onehot(labels):
+        return np.eye(16, dtype=np.float32)[labels]
+
+    x_tr = np.concatenate(
+        [xs, np.repeat(cat_onehot(cs)[:, None], npoint, 1)], -1)
+    x_te = np.concatenate(
+        [xt, np.repeat(cat_onehot(ct)[:, None], npoint, 1)], -1)
+    tx_all = torch.from_numpy(x_tr)
+    ty_all = torch.from_numpy(ss.astype(np.int64))
+    tt_all = torch.from_numpy(x_te)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    imgs_n = (imgs_u8.astype(np.float32) / 255.0 - mean) / std
+    timg_all = torch.from_numpy(imgs_n.transpose(0, 3, 1, 2).copy())
+    opt = torch.optim.Adam(ref_model.parameters(), lr=lrs[0],
+                           betas=(0.9, 0.999), eps=1e-8)
+    ref_iou = []
+    for e in range(epochs):
+        for g in opt.param_groups:
+            g["lr"] = lrs[e]
+        for m in ref_model.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                m.momentum = moms[e]
+        ref_model.train()
+        for s in range(steps_per_epoch):
+            bi = epoch_idx[e][s]
+            out = ref_model(tx_all[bi])
+            loss = F.cross_entropy(out.reshape(-1, 50),
+                                   ty_all[bi].reshape(-1))
+            imgs_b = timg_all[img_idx[e][s]]
+            img_pred = ref_model.forward_images(imgs_b)
+            with torch.no_grad():
+                label_teacher = ref_teacher(imgs_b).data.max(1)[1]
+            loss = loss + lam * F.cross_entropy(img_pred, label_teacher)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+        ref_model.eval()
+        meter = PartSegMeter()
+        with torch.no_grad():
+            for i in range(0, n_test, 64):
+                meter.update(ref_model(tt_all[i:i + 64]).numpy(),
+                             st_[i:i + 64])
+        ref_iou.append(meter.instance_avg_iou)
+        print(f"[torch] epoch {e:2d} lr {lrs[e]:.2e} bn_mom {moms[e]:.3f} "
+              f"inst mIoU {ref_iou[-1]:.4f} ({time.time() - t0:.0f}s)",
+              flush=True)
+
+    out = dict(jax_iou=np.array(jax_iou), ref_iou=np.array(ref_iou),
+               best_jax=max(jax_iou), best_ref=max(ref_iou),
+               gap_pts=abs(max(jax_iou) - max(ref_iou)) * 100.0)
+    print(f"\nbest instance mIoU (LwF joint) ours {out['best_jax']:.4f} vs "
+          f"reference-code {out['best_ref']:.4f}  |gap| = "
+          f"{out['gap_pts']:.2f} pts")
+    return out
+
+
 def run_scanobjectnn(epochs=16, batch=32, lr=0.01, n_train=1536, n_test=1024,
                      seed=0, npoint=128, nneighbor=16, n_classes=6,
                      backbone="deit_tiny_patch16_224", lr_step=8,
@@ -696,8 +888,8 @@ def run_s3dis(epochs=12, batch=16, lr=0.05, n_train=1024, n_test=512,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--track", default="voxel",
-                    choices=["voxel", "point", "partseg", "scanobjectnn",
-                             "s3dis"])
+                    choices=["voxel", "point", "partseg", "partseg_lwf",
+                             "scanobjectnn", "s3dis"])
     ap.add_argument("--epochs", type=int, default=15)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--n-train", type=int, default=2048)
@@ -729,6 +921,12 @@ def main():
                     n_train=args.n_train, n_test=args.n_test,
                     backbone=args.backbone,
                     lr_step=args.lr_step or 4, lr_gamma=args.lr_gamma or 0.5)
+    elif args.track == "partseg_lwf":
+        run_partseg_lwf(epochs=args.epochs, batch=args.batch, seed=args.seed,
+                        n_train=args.n_train, n_test=args.n_test,
+                        backbone=args.backbone,
+                        lr_step=args.lr_step or 4,
+                        lr_gamma=args.lr_gamma or 0.5)
     elif args.track == "scanobjectnn":
         run_scanobjectnn(epochs=args.epochs, batch=args.batch,
                          seed=args.seed, n_train=args.n_train,
