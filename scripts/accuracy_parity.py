@@ -445,7 +445,7 @@ def run_partseg(epochs=10, batch=32, lr=1e-3, n_train=1024, n_test=512,
 def run_partseg_lwf(epochs=10, batch=16, lr=1e-3, n_train=512, n_test=256,
                     seed=0, npoint=128, nneighbor=8, M=16, lam=0.1,
                     backbone="deit_tiny_patch16_224", lr_step=4,
-                    lr_gamma=0.5):
+                    lr_gamma=0.5, teacher_factory=None):
     """LwF joint objective vs the reference's OWN code end to end: the
     3DViT_1_layer PointTransformerSeg student AND the reference's DeiT
     teacher class (models/DeIT.py factory through the timm shim), both
@@ -519,11 +519,13 @@ def run_partseg_lwf(epochs=10, batch=16, lr=1e-3, n_train=512, n_test=256,
             params_np, input_dim, variables.get("batch_stats")),
         strict=False)
     assert not missing and not unexpected, (missing, unexpected)
-    factory = {"deit_tiny_patch16_224": deit_mod.deit_tiny_patch16_224,
-               "deit_small_patch16_224": deit_mod.deit_small_patch16_224,
-               "deit_base_patch16_224": deit_mod.deit_base_patch16_224}[
-        backbone]
-    ref_teacher = factory(pretrained=False)
+    if teacher_factory is None:
+        teacher_factory = {
+            "deit_tiny_patch16_224": deit_mod.deit_tiny_patch16_224,
+            "deit_small_patch16_224": deit_mod.deit_small_patch16_224,
+            "deit_base_patch16_224": deit_mod.deit_base_patch16_224,
+        }[backbone]
+    ref_teacher = teacher_factory(pretrained=False)
     missing, unexpected = ref_teacher.load_state_dict(
         refbridge.export_backbone_state_dict(t_params_np), strict=False)
     assert not missing and not unexpected, (missing, unexpected)

