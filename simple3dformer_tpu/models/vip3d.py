@@ -87,7 +87,8 @@ def _chain_z(x, k2, seg):
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _axis_mixes_hybrid(seg, x6, w4h, w4w):
-    """Hybrid-VJP axis mixes (S3F_VIP_MIXVJP experiment, BASELINE round-4):
+    """Hybrid-VJP axis mixes (default ON; S3F_VIP_MIXVJP=0 opts out —
+    BASELINE round-4a, interleaved A/B won every trial):
     FORWARD is the einsum formulation (measured −28% vs the transpose
     chain); BACKWARD is `jax.linear_transpose` of the literal chain — the
     cotangent program autodiff-of-einsum produced measured ~1.6 ms slower
@@ -177,8 +178,11 @@ class WeightedPermuteMLP(nn.Module):
             # h mix: output order bgzwst IS the reference's W/Z-swapped
             # restore (vip_3d.py:71) — g lands on the H axis, z on W, w on Z
             # Z mix reuses mlp_w — reference quirk (vip_3d.py:75-76)
-            if _env_switch("S3F_VIP_MIXVJP"):
-                # experiment: einsum forward + chain-transpose backward
+            if _env_switch("S3F_VIP_MIXVJP") is not False:
+                # default ON: einsum forward + chain-transpose backward —
+                # interleaved A/B (scripts/ab_vip3d_mixvjp.py, 2026-08-19)
+                # won every trial: production 18.25 vs 18.41 ms, fwd+bwd
+                # 16.85 vs 17.69 ms. S3F_VIP_MIXVJP=0 opts out.
                 h6, w6, z6 = _axis_mixes_hybrid(seg, x6, w4h, w4w)
             else:
                 h6 = jnp.einsum("bhwzsi,higt->bgzwst", x6, w4h)
