@@ -445,7 +445,7 @@ def run_partseg(epochs=10, batch=32, lr=1e-3, n_train=1024, n_test=512,
 def run_partseg_lwf(epochs=10, batch=16, lr=1e-3, n_train=512, n_test=256,
                     seed=0, npoint=128, nneighbor=8, M=16, lam=0.1,
                     backbone="deit_tiny_patch16_224", lr_step=4,
-                    lr_gamma=0.5, teacher_factory=None):
+                    lr_gamma=0.5, teacher_factory=None, side="both"):
     """LwF joint objective vs the reference's OWN code end to end: the
     3DViT_1_layer PointTransformerSeg student AND the reference's DeiT
     teacher class (models/DeIT.py factory through the timm shim), both
@@ -546,18 +546,24 @@ def run_partseg_lwf(epochs=10, batch=16, lr=1e-3, n_train=512, n_test=256,
     moms = [max(0.9 * (0.5 ** (e // lr_step)), 0.01) for e in range(epochs)]
 
     # ---- jax production LwF scan path ----
-    tx = make_optimizer("Adam")
-    prepare = make_prepare_fn()
-    ds = DeviceResidentDataset({"x": xs, "cls": cs, "y": ss})
-    image_ds = DeviceResidentDataset({"images": imgs_u8})
-    test_ds = DeviceResidentDataset({"x": xt, "cls": ct, "y": st_})
-    state = create_train_state(variables["params"], tx,
-                               variables.get("batch_stats"))
-    eb = next(b for b in range(min(64, n_test), 0, -1) if n_test % b == 0)
-    eval_idx = jnp.asarray(np.arange(n_test).reshape(-1, eb))
-
+    # side="jax"/"torch" runs one framework only: every input to either
+    # loop (init weights, corpora, batch orders, schedules) is derived
+    # deterministically from the seeds above, so single-side runs are
+    # bitwise-identical to their half of a side="both" run — used to
+    # resume the torch half of an interrupted full-depth record.
     jax_iou, cur, t0 = [], None, time.time()
-    for e in range(epochs):
+    if side != "torch":
+        tx = make_optimizer("Adam")
+        prepare = make_prepare_fn()
+        ds = DeviceResidentDataset({"x": xs, "cls": cs, "y": ss})
+        image_ds = DeviceResidentDataset({"images": imgs_u8})
+        test_ds = DeviceResidentDataset({"x": xt, "cls": ct, "y": st_})
+        state = create_train_state(variables["params"], tx,
+                                   variables.get("batch_stats"))
+        eb = next(b for b in range(min(64, n_test), 0, -1) if n_test % b == 0)
+        eval_idx = jnp.asarray(np.arange(n_test).reshape(-1, eb))
+
+    for e in range(epochs if side != "torch" else 0):
         if moms[e] != cur:
             cur = moms[e]
             model = build_model(cur)
@@ -579,67 +585,75 @@ def run_partseg_lwf(epochs=10, batch=16, lr=1e-3, n_train=512, n_test=256,
               flush=True)
 
     # ---- reference joint loop (train_partseg_lwf.py:198-231 semantics) ---
-    def cat_onehot(labels):
-        return np.eye(16, dtype=np.float32)[labels]
-
-    x_tr = np.concatenate(
-        [xs, np.repeat(cat_onehot(cs)[:, None], npoint, 1)], -1)
-    x_te = np.concatenate(
-        [xt, np.repeat(cat_onehot(ct)[:, None], npoint, 1)], -1)
-    tx_all = torch.from_numpy(x_tr)
-    ty_all = torch.from_numpy(ss.astype(np.int64))
-    tt_all = torch.from_numpy(x_te)
-    mean = np.array([0.485, 0.456, 0.406], np.float32)
-    std = np.array([0.229, 0.224, 0.225], np.float32)
-    imgs_n = (imgs_u8.astype(np.float32) / 255.0 - mean) / std
-    timg_all = torch.from_numpy(imgs_n.transpose(0, 3, 1, 2).copy())
-    opt = torch.optim.Adam(ref_model.parameters(), lr=lrs[0],
-                           betas=(0.9, 0.999), eps=1e-8)
     ref_iou = []
-    for e in range(epochs):
-        for g in opt.param_groups:
-            g["lr"] = lrs[e]
-        for m in ref_model.modules():
-            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
-                m.momentum = moms[e]
-        ref_model.train()
-        for s in range(steps_per_epoch):
-            bi = epoch_idx[e][s]
-            out = ref_model(tx_all[bi])
-            loss = F.cross_entropy(out.reshape(-1, 50),
-                                   ty_all[bi].reshape(-1))
-            imgs_b = timg_all[img_idx[e][s]]
-            img_pred = ref_model.forward_images(imgs_b)
+    if side != "jax":
+        def cat_onehot(labels):
+            return np.eye(16, dtype=np.float32)[labels]
+
+        x_tr = np.concatenate(
+            [xs, np.repeat(cat_onehot(cs)[:, None], npoint, 1)], -1)
+        x_te = np.concatenate(
+            [xt, np.repeat(cat_onehot(ct)[:, None], npoint, 1)], -1)
+        tx_all = torch.from_numpy(x_tr)
+        ty_all = torch.from_numpy(ss.astype(np.int64))
+        tt_all = torch.from_numpy(x_te)
+        mean = np.array([0.485, 0.456, 0.406], np.float32)
+        std = np.array([0.229, 0.224, 0.225], np.float32)
+        imgs_n = (imgs_u8.astype(np.float32) / 255.0 - mean) / std
+        timg_all = torch.from_numpy(imgs_n.transpose(0, 3, 1, 2).copy())
+        opt = torch.optim.Adam(ref_model.parameters(), lr=lrs[0],
+                               betas=(0.9, 0.999), eps=1e-8)
+        for e in range(epochs):
+            for g in opt.param_groups:
+                g["lr"] = lrs[e]
+            for m in ref_model.modules():
+                if isinstance(m,
+                              (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                    m.momentum = moms[e]
+            ref_model.train()
+            for s in range(steps_per_epoch):
+                bi = epoch_idx[e][s]
+                out = ref_model(tx_all[bi])
+                loss = F.cross_entropy(out.reshape(-1, 50),
+                                       ty_all[bi].reshape(-1))
+                imgs_b = timg_all[img_idx[e][s]]
+                img_pred = ref_model.forward_images(imgs_b)
+                with torch.no_grad():
+                    label_teacher = ref_teacher(imgs_b).data.max(1)[1]
+                loss = loss + lam * F.cross_entropy(img_pred, label_teacher)
+                opt.zero_grad()
+                loss.backward()
+                opt.step()
+            ref_model.eval()
+            meter = PartSegMeter()
             with torch.no_grad():
-                label_teacher = ref_teacher(imgs_b).data.max(1)[1]
-            loss = loss + lam * F.cross_entropy(img_pred, label_teacher)
-            opt.zero_grad()
-            loss.backward()
-            opt.step()
-        ref_model.eval()
-        meter = PartSegMeter()
-        with torch.no_grad():
-            for i in range(0, n_test, 64):
-                meter.update(ref_model(tt_all[i:i + 64]).numpy(),
-                             st_[i:i + 64])
-        ref_iou.append(meter.instance_avg_iou)
-        print(f"[torch] epoch {e:2d} lr {lrs[e]:.2e} bn_mom {moms[e]:.3f} "
-              f"inst mIoU {ref_iou[-1]:.4f} ({time.time() - t0:.0f}s)",
-              flush=True)
+                for i in range(0, n_test, 64):
+                    meter.update(ref_model(tt_all[i:i + 64]).numpy(),
+                                 st_[i:i + 64])
+            ref_iou.append(meter.instance_avg_iou)
+            print(f"[torch] epoch {e:2d} lr {lrs[e]:.2e} "
+                  f"bn_mom {moms[e]:.3f} "
+                  f"inst mIoU {ref_iou[-1]:.4f} ({time.time() - t0:.0f}s)",
+                  flush=True)
 
     out = dict(jax_iou=np.array(jax_iou), ref_iou=np.array(ref_iou),
-               best_jax=max(jax_iou), best_ref=max(ref_iou),
-               gap_pts=abs(max(jax_iou) - max(ref_iou)) * 100.0)
-    print(f"\nbest instance mIoU (LwF joint) ours {out['best_jax']:.4f} vs "
-          f"reference-code {out['best_ref']:.4f}  |gap| = "
-          f"{out['gap_pts']:.2f} pts")
+               best_jax=max(jax_iou, default=float("nan")),
+               best_ref=max(ref_iou, default=float("nan")))
+    out["gap_pts"] = abs(out["best_jax"] - out["best_ref"]) * 100.0
+    if side == "both":
+        print(f"\nbest instance mIoU (LwF joint) ours {out['best_jax']:.4f} "
+              f"vs reference-code {out['best_ref']:.4f}  |gap| = "
+              f"{out['gap_pts']:.2f} pts")
+    else:
+        print(f"\n[{side} side only] best instance mIoU "
+              f"{max(jax_iou + ref_iou):.4f}")
     return out
 
 
 def run_scanobjectnn(epochs=16, batch=32, lr=0.01, n_train=1536, n_test=1024,
                      seed=0, npoint=128, nneighbor=16, n_classes=6,
                      backbone="deit_tiny_patch16_224", lr_step=8,
-                     lr_gamma=0.3):
+                     lr_gamma=0.3, side="both"):
     """ScanObjectNN cls vs the reference's OWN 3DViT PointTransformerCls
     (the config/cls_scanobjectnn.yaml default model), exercising the SGD
     branch the other tracks don't: torch.optim.SGD(lr=0.01, momentum=0.9) +
@@ -689,18 +703,8 @@ def run_scanobjectnn(epochs=16, batch=32, lr=0.01, n_train=1536, n_test=1024,
     lrs = [lr * (lr_gamma ** (e // lr_step)) for e in range(epochs)]
 
     # ---- jax production loop (SGD+momentum direction, lr in the step) ----
-    tx = make_optimizer("SGD")
-    state = create_train_state(variables["params"], tx,
-                               variables.get("batch_stats"))
-    ds = DeviceResidentDataset({"x": jnp.asarray(xs, jnp.float32),
-                                "y": jnp.asarray(ys)})
-    run = make_scanned_train_steps(model, tx, ds, has_batch_stats=True)
-    test_ds = DeviceResidentDataset({"x": jnp.asarray(xt, jnp.float32),
-                                     "y": jnp.asarray(yt)})
-    evaluate = make_scanned_eval(model, test_ds, has_batch_stats=True)
-    eb = next(b for b in range(min(64, n_test), 0, -1) if n_test % b == 0)
-    eval_idx = jnp.asarray(np.arange(n_test).reshape(-1, eb))
-
+    # side gating: see run_partseg_lwf — both loops are deterministic in
+    # the seeds, so one-sided runs resume an interrupted full-depth record.
     def meter_of(logits):
         m = InstanceClassMeter(n_classes)
         m.update(np.asarray(logits).reshape(-1, n_classes).argmax(-1),
@@ -708,7 +712,20 @@ def run_scanobjectnn(epochs=16, batch=32, lr=0.01, n_train=1536, n_test=1024,
         return m
 
     jax_inst, jax_cls, t0 = [], [], time.time()
-    for e in range(epochs):
+    if side != "torch":
+        tx = make_optimizer("SGD")
+        state = create_train_state(variables["params"], tx,
+                                   variables.get("batch_stats"))
+        ds = DeviceResidentDataset({"x": jnp.asarray(xs, jnp.float32),
+                                    "y": jnp.asarray(ys)})
+        run = make_scanned_train_steps(model, tx, ds, has_batch_stats=True)
+        test_ds = DeviceResidentDataset({"x": jnp.asarray(xt, jnp.float32),
+                                         "y": jnp.asarray(yt)})
+        evaluate = make_scanned_eval(model, test_ds, has_batch_stats=True)
+        eb = next(b for b in range(min(64, n_test), 0, -1) if n_test % b == 0)
+        eval_idx = jnp.asarray(np.arange(n_test).reshape(-1, eb))
+
+    for e in range(epochs if side != "torch" else 0):
         state, _ = run(state, jnp.asarray(epoch_idx[e]), lrs[e],
                        jax.random.key(e))
         m = meter_of(evaluate(state, eval_idx))
@@ -719,40 +736,49 @@ def run_scanobjectnn(epochs=16, batch=32, lr=0.01, n_train=1536, n_test=1024,
               f"({time.time() - t0:.0f}s)", flush=True)
 
     # ---- reference loop (train_cls_scanobjectnn.py:106-157 semantics) ----
-    opt = torch.optim.SGD(ref_model.parameters(), lr=lrs[0], momentum=0.9)
-    tx_all = torch.from_numpy(xs.astype(np.float32))
-    ty_all = torch.from_numpy(ys.astype(np.int64))
-    tt_all = torch.from_numpy(xt.astype(np.float32))
     ref_inst, ref_cls = [], []
-    for e in range(epochs):
-        for g in opt.param_groups:
-            g["lr"] = lrs[e]
-        ref_model.train()
-        for s in range(steps_per_epoch):
-            bi = epoch_idx[e][s]
-            loss = F.cross_entropy(ref_model(tx_all[bi]), ty_all[bi])
-            opt.zero_grad()
-            loss.backward()
-            opt.step()
-        ref_model.eval()
-        preds = []
-        with torch.no_grad():
-            for i in range(0, n_test, 64):
-                preds.append(ref_model(tt_all[i:i + 64]).numpy())
-        m = meter_of(np.concatenate(preds))
-        ref_inst.append(m.instance_accuracy)
-        ref_cls.append(m.class_accuracy)
-        print(f"[torch] epoch {e:2d} lr {lrs[e]:.2e} inst "
-              f"{ref_inst[-1]:.4f} cls {ref_cls[-1]:.4f} "
-              f"({time.time() - t0:.0f}s)", flush=True)
+    if side != "jax":
+        opt = torch.optim.SGD(ref_model.parameters(), lr=lrs[0],
+                              momentum=0.9)
+        tx_all = torch.from_numpy(xs.astype(np.float32))
+        ty_all = torch.from_numpy(ys.astype(np.int64))
+        tt_all = torch.from_numpy(xt.astype(np.float32))
+        for e in range(epochs):
+            for g in opt.param_groups:
+                g["lr"] = lrs[e]
+            ref_model.train()
+            for s in range(steps_per_epoch):
+                bi = epoch_idx[e][s]
+                loss = F.cross_entropy(ref_model(tx_all[bi]), ty_all[bi])
+                opt.zero_grad()
+                loss.backward()
+                opt.step()
+            ref_model.eval()
+            preds = []
+            with torch.no_grad():
+                for i in range(0, n_test, 64):
+                    preds.append(ref_model(tt_all[i:i + 64]).numpy())
+            m = meter_of(np.concatenate(preds))
+            ref_inst.append(m.instance_accuracy)
+            ref_cls.append(m.class_accuracy)
+            print(f"[torch] epoch {e:2d} lr {lrs[e]:.2e} inst "
+                  f"{ref_inst[-1]:.4f} cls {ref_cls[-1]:.4f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
 
-    out = dict(best_jax=max(jax_inst), best_ref=max(ref_inst),
-               best_jax_cls=max(jax_cls), best_ref_cls=max(ref_cls),
-               gap_pts=abs(max(jax_inst) - max(ref_inst)) * 100.0)
-    print(f"\nbest instance acc ours {out['best_jax']:.4f} vs "
-          f"reference-code {out['best_ref']:.4f}  |gap| = "
-          f"{out['gap_pts']:.2f} pts  (class acc {out['best_jax_cls']:.4f} "
-          f"vs {out['best_ref_cls']:.4f})")
+    out = dict(best_jax=max(jax_inst, default=float("nan")),
+               best_ref=max(ref_inst, default=float("nan")),
+               best_jax_cls=max(jax_cls, default=float("nan")),
+               best_ref_cls=max(ref_cls, default=float("nan")),
+               jax_inst=np.array(jax_inst), ref_inst=np.array(ref_inst))
+    out["gap_pts"] = abs(out["best_jax"] - out["best_ref"]) * 100.0
+    if side == "both":
+        print(f"\nbest instance acc ours {out['best_jax']:.4f} vs "
+              f"reference-code {out['best_ref']:.4f}  |gap| = "
+              f"{out['gap_pts']:.2f} pts  (class acc "
+              f"{out['best_jax_cls']:.4f} vs {out['best_ref_cls']:.4f})")
+    else:
+        print(f"\n[{side} side only] best instance acc "
+              f"{max(jax_inst + ref_inst):.4f}")
     return out
 
 
@@ -898,6 +924,12 @@ def main():
     ap.add_argument("--n-test", type=int, default=2048)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backbone", default="deit_tiny_patch16_224")
+    ap.add_argument("--side", default="both", choices=["both", "jax",
+                                                       "torch"],
+                    help="run one framework only (partseg_lwf/scanobjectnn "
+                         "tracks): both loops are seed-deterministic, so a "
+                         "single-side run reproduces exactly its half of a "
+                         "--side both run — resume an interrupted record")
     # StepLR knobs, scaled to harness epoch counts (the reference's
     # StepLR(50/20) never fires inside a <=20-epoch synthetic run, leaving
     # both frameworks oscillating at lr0 — the recorded point-track run used
@@ -928,13 +960,13 @@ def main():
                         n_train=args.n_train, n_test=args.n_test,
                         backbone=args.backbone,
                         lr_step=args.lr_step or 4,
-                        lr_gamma=args.lr_gamma or 0.5)
+                        lr_gamma=args.lr_gamma or 0.5, side=args.side)
     elif args.track == "scanobjectnn":
         run_scanobjectnn(epochs=args.epochs, batch=args.batch,
                          seed=args.seed, n_train=args.n_train,
                          n_test=args.n_test, backbone=args.backbone,
                          lr_step=args.lr_step or 8,
-                         lr_gamma=args.lr_gamma or 0.3)
+                         lr_gamma=args.lr_gamma or 0.3, side=args.side)
     elif args.track == "s3dis":
         run_s3dis(epochs=args.epochs, batch=args.batch, seed=args.seed,
                   n_train=args.n_train, n_test=args.n_test,

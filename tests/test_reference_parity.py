@@ -489,3 +489,25 @@ def test_accuracy_parity_s3dis_small(monkeypatch):
     # sides must clear it clearly
     assert r["best_jax"] > 0.15 and r["best_ref"] > 0.15, r
     assert r["gap_pts"] <= 8.0, r
+
+
+@pytest.mark.slow
+def test_accuracy_parity_side_resume(monkeypatch):
+    """`--side` single-framework runs reproduce exactly their half of a
+    --side both run (the resume path for interrupted full-depth records):
+    every input to either loop is derived deterministically from the seeds,
+    so the torch-only trajectory must match the both-run's torch half
+    bitwise, and the jax-only must match the jax half."""
+    ap = _load("accuracy_parity")
+    ref_mod = refbridge.load_reference_module("models.3DViT.model")
+    name = _register_tiny_3dvit(monkeypatch, ref_mod, "PointTransformerCls")
+
+    kw = dict(epochs=2, batch=16, n_train=128, n_test=64, npoint=32,
+              nneighbor=4, backbone=name, lr=0.02, lr_step=3)
+    both = ap.run_scanobjectnn(**kw)
+    torch_only = ap.run_scanobjectnn(**kw, side="torch")
+    jax_only = ap.run_scanobjectnn(**kw, side="jax")
+    np.testing.assert_array_equal(both["ref_inst"], torch_only["ref_inst"])
+    np.testing.assert_array_equal(both["jax_inst"], jax_only["jax_inst"])
+    assert torch_only["jax_inst"].size == 0
+    assert jax_only["ref_inst"].size == 0
