@@ -194,12 +194,12 @@ RECORDS = {
     "partseg_3DViT_1_layer_bf16_samples_per_sec_per_chip": 1501.0,
     "hengshuang_cls_bf16_samples_per_sec_per_chip": 614.0,
     "scanobjectnn_cls_bf16_samples_per_sec_per_chip": 820.0,
-    # ViP-3D first chip record (BASELINE round-4a: 18.46-18.50 ms/step
-    # B=32 f32 scanned production step = 1,730 samples/sec, einsum
-    # axis-mix path e2e parity with the transpose chain). The CLI epoch
-    # rate includes eval/host bookkeeping: measured 1559.3 / 1560.7 on
-    # the bench invocation itself (2 trials, 2026-08-19).
-    "vip3d_pure_mlp_f32_samples_per_sec_per_chip": 1560.0,
+    # ViP-3D chip record (BASELINE round-4a: 18.25 ms/step B=32 f32
+    # scanned production step = 1,753 samples/sec with the hybrid-VJP
+    # axis mixes default-on). The CLI epoch rate includes eval/host
+    # bookkeeping: measured 1650.1 / 1652.5 with hybrid-VJP on
+    # (2 trials, 2026-08-19; pre-hybrid einsum path read 1559-1561).
+    "vip3d_pure_mlp_f32_samples_per_sec_per_chip": 1650.0,
 }
 
 
