@@ -150,7 +150,8 @@ def run_voxel(epochs=15, batch=32, lr=1e-3, n_train=2048, n_test=2048,
     test_ds = DeviceResidentDataset({"x": jnp.asarray(xt, jnp.float32),
                                      "y": jnp.asarray(yt)})
     evaluate = make_scanned_eval(model, test_ds)
-    eval_idx = jnp.asarray(np.arange(n_test).reshape(-1, 64))
+    eb = next(b for b in range(min(64, n_test), 0, -1) if n_test % b == 0)
+    eval_idx = jnp.asarray(np.arange(n_test).reshape(-1, eb))
 
     jax_oa, t0 = [], time.time()
     for e in range(epochs):
@@ -245,7 +246,8 @@ def run_point(epochs=12, batch=32, lr=1e-3, n_train=1536, n_test=1024,
     test_ds = DeviceResidentDataset({"x": jnp.asarray(xt, jnp.float32),
                                      "y": jnp.asarray(yt)})
     evaluate = make_scanned_eval(model, test_ds, has_batch_stats=True)
-    eval_idx = jnp.asarray(np.arange(n_test).reshape(-1, 64))
+    eb = next(b for b in range(min(64, n_test), 0, -1) if n_test % b == 0)
+    eval_idx = jnp.asarray(np.arange(n_test).reshape(-1, eb))
 
     jax_oa, t0 = [], time.time()
     for e in range(epochs):
