@@ -32,6 +32,12 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Two compile-heavy ranks share this machine's single CPU core, and the
+# suite may run next to a background job; 900 s was observed to flake under
+# such contention (round 4) while the solo run needs only a few minutes.
+# The timeout exists to catch genuine rendezvous hangs, not to bound speed.
+TIMEOUT_S = 2400
+
 CLI_ARGS = [
     "--dataset", "ModelNet40", "--synthetic", "32", "--batchSize", "8",
     "--epochs", "2", "--model-name", "vip3d_s7",
@@ -89,7 +95,7 @@ def test_two_process_gloo_matches_single_process(tmp_path):
     outs = []
     for r, p in enumerate(procs):
         try:
-            out, _ = p.communicate(timeout=900)
+            out, _ = p.communicate(timeout=TIMEOUT_S)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -110,7 +116,7 @@ def test_two_process_gloo_matches_single_process(tmp_path):
         [sys.executable, "-m", "simple3dformer_tpu.cli.train_pure_mlp",
          *CLI_ARGS, "--outf", str(tmp_path / "sp")],
         env=_env(0, 1, port, 8), capture_output=True, text=True, cwd=REPO,
-        timeout=900,
+        timeout=TIMEOUT_S,
     )
     assert single.returncode == 0, single.stdout[-4000:] + single.stderr[-2000:]
     ref = _parse(single.stdout)
@@ -145,7 +151,7 @@ def test_two_process_zero1_and_dcn_match_replicated(tmp_path):
     ]
     for r, p in enumerate(procs):
         try:
-            out, _ = p.communicate(timeout=900)
+            out, _ = p.communicate(timeout=TIMEOUT_S)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -166,7 +172,7 @@ def test_two_process_zero1_and_dcn_match_replicated(tmp_path):
     single_out = tmp_path / "single.json"
     single = subprocess.run(
         [sys.executable, worker, str(single_out)], env=_env(0, 1, port, 8),
-        capture_output=True, text=True, cwd=REPO, timeout=900)
+        capture_output=True, text=True, cwd=REPO, timeout=TIMEOUT_S)
     assert single.returncode == 0, single.stdout[-4000:] + single.stderr[-2000:]
     s = json.loads(single_out.read_text())
     assert s["process_count"] == 1
