@@ -356,11 +356,18 @@ def export_voxelvit_state_dict(params: dict, cell_size: int) -> dict:
     """Our VoxelViT tree -> reference Feature3D_ViT2D_V2 state-dict names.
 
     Covers the default/no_embed routes' parameters (VoxelEmbed conv, voxel
-    pos embed, voxel head) on top of the shared backbone. group_embed's
-    stage-1 encoder is NOT mapped: the reference's nn.TransformerEncoderLayer
-    misuse (batch-first tensors into a seq-first module) attends across the
-    batch — a bug we deliberately do not replicate (models/voxel_vit.py
-    docstring), so its weights have no meaningful correspondence.
+    pos embed, voxel head) on top of the shared backbone, plus — when the
+    tree carries them — the group_embed route's stage-1 encoder (our
+    PostNormEncoderLayer maps 1:1 onto torch nn.TransformerEncoderLayer:
+    packed qkv == in_proj with the same [q;k;v]*[head, head_dim] feature
+    order, post-LN + ReLU FF ordering identical), group_pos_embed and
+    group_cls_token. The weight correspondence is exact even though the
+    reference FEEDS the encoder batch-first (the axis bug,
+    vit_3d_2d_pretrain.py:381,479): the weights don't know about axes —
+    our VoxelViT(group_axes="reference_bug") reproduces the reference's
+    attention axes for parity tests, and the as-shipped "pillar" mode
+    quantifies the bug-fix deviation from the same weights
+    (scripts/accuracy_parity.py --route group_embed).
     """
     sd = export_backbone_state_dict(params)
     ve = params["voxel_embed"]
@@ -372,6 +379,19 @@ def export_voxelvit_state_dict(params: dict, cell_size: int) -> dict:
     sd["voxel_pos_embed"] = _t(params["voxel_pos_embed"])
     sd["voxel_head.weight"] = _t(np.asarray(params["voxel_head"]["kernel"]).T)
     sd["voxel_head.bias"] = _t(params["voxel_head"]["bias"])
+    if "group_embed" in params:
+        ge = params["group_embed"]
+        sd["group_embed.self_attn.in_proj_weight"] = _t(
+            np.asarray(ge["qkv"]["kernel"]).T)
+        sd["group_embed.self_attn.in_proj_bias"] = _t(ge["qkv"]["bias"])
+        _linear(sd, "group_embed.self_attn.out_proj", ge["out_proj"])
+        _linear(sd, "group_embed.linear1", ge["linear1"])
+        _linear(sd, "group_embed.linear2", ge["linear2"])
+        for ln in ("norm1", "norm2"):
+            sd[f"group_embed.{ln}.weight"] = _t(ge[ln]["scale"])
+            sd[f"group_embed.{ln}.bias"] = _t(ge[ln]["bias"])
+        sd["group_pos_embed"] = _t(params["group_pos_embed"])
+        sd["group_cls_token"] = _t(params["group_cls_token"])
     return sd
 
 

@@ -151,6 +151,19 @@ class VoxelViT(nn.Module):
     # shard-local whenever rows-per-shard is a multiple of the pack factor
     # (contiguous GSPMD blocks), e.g. global batch 32 on 8 devices.
     batch_pack: int = 0
+    # group_axes: stage-1 attention axes of the group_embed route.
+    #   "pillar" (default, the fix): attend over each z-pillar's pz+1 tokens.
+    #   "reference_bug" (test-only): replicate the reference's latent bug —
+    #     batch-first tensors into a seq-first nn.TransformerEncoderLayer
+    #     (vit_3d_2d_pretrain.py:381,479) make torch treat the (b*px*py)
+    #     pillar axis as the SEQUENCE and the pz+1 axis as the batch, so
+    #     stage-1 attention silently mixes across pillars AND batch samples
+    #     (separately per z position). Used by scripts/accuracy_parity.py
+    #     --route group_embed to quantify the deviation's accuracy effect
+    #     and by tests/test_reference_parity.py to pin forward parity of the
+    #     group route against the reference's own code. Forces packing off
+    #     (packing masks are within-pillar; the bug has no pillar locality).
+    group_axes: str = "pillar"
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -160,6 +173,8 @@ class VoxelViT(nn.Module):
         mode = self.pos_embedding or "default"
         if mode not in ("default", "no_embed", "group_embed", "weight_sharing"):
             raise ValueError("Unknown positional embedding scheme!")
+        if self.group_axes not in ("pillar", "reference_bug"):
+            raise ValueError("group_axes must be 'pillar' or 'reference_bug'")
         self.mode = mode
 
         # ---- shared backbone (2D-pretrained weights land here) ----
@@ -266,6 +281,20 @@ class VoxelViT(nn.Module):
             pillars = self._with_cls(pillars, self.group_cls_token)
             pillars = pillars + self.group_pos_embed.astype(pillars.dtype)
             n_seq, S = B * px * py, pz + 1
+            if self.group_axes == "reference_bug":
+                # torch's seq-first MHA on a batch-first tensor == attending
+                # over the pillar axis per z slot: transpose in, run the same
+                # encoder weights, transpose out. LN/FFN are per-token, so
+                # only the attention axes change — exactly the reference bug.
+                bugged = self.group_embed(
+                    pillars.transpose(1, 0, 2), deterministic=deterministic
+                ).transpose(1, 0, 2)
+                pillars = self.core(bugged, deterministic=deterministic)
+                pillar_feat = pillars[:, 0].reshape(B, px * py, D)
+                tok2 = self._with_cls(pillar_feat, self.cls_token)
+                tok2 = tok2 + self.voxel_pos_embed.astype(tok2.dtype)
+                feats = self.core(tok2, deterministic=deterministic)
+                return feats[:, 0]
             P = self._resolve_pack(self.group_pack, n_seq, S)
             if P > 1:
                 pillars = pillars.reshape(n_seq // P, P * S, D)

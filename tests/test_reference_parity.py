@@ -118,6 +118,83 @@ def test_forward_images_matches_reference_code(rng):
     np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=1e-3)
 
 
+def test_voxelvit_group_embed_bug_mode_matches_reference_code(rng):
+    """The group_embed route vs the reference's own code, from identical
+    weights (export_voxelvit_state_dict now maps the stage-1 encoder 1:1
+    onto nn.TransformerEncoderLayer). Our group_axes="reference_bug" mode
+    replicates the reference's axis bug — batch-first tensors into a
+    seq-first encoder attend across the (b*px*py) pillar axis per z slot
+    (vit_3d_2d_pretrain.py:381,479) — so outputs must match to GELU
+    tolerance; the as-shipped "pillar" mode (the deliberate fix) must
+    DIVERGE from the same weights, pinning that the deviation is real."""
+    import dataclasses
+
+    ref_vit = refbridge.load_reference_module("models.vit_3d_2d_pretrain")
+    ref_emb = refbridge.load_reference_module("models.embed_layer_3d_modality")
+    backbone = "deit_tiny_patch16_224"
+    D = vit_mod.BACKBONES[backbone]["embed_dim"]
+    model = VoxelViT(
+        voxel_embed=VoxelEmbedNoAverage(voxel_size=V, cell_size=CELL,
+                                        patch_size=P, embed_dim=D),
+        n_classes=7, transformer_backbone=backbone,
+        pos_embedding="group_embed", group_axes="reference_bug", group_pack=1)
+    variables = jax.jit(
+        lambda k, a, b: model.init(k, a, b, method=model.init_all)
+    )(jax.random.key(0), jnp.zeros((2, V, V, V)),
+      jnp.zeros((1, 224, 224, 3)))
+    params_np = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    torch.manual_seed(0)
+    ref_model = ref_vit.Feature3D_ViT2D_V2(
+        n_classes=7,
+        embed_layer=ref_emb.VoxelEmbed_no_average(
+            voxel_size=V, cell_size=CELL, patch_size=P, embed_dim=D),
+        transformer_backbone=backbone, pretrained=False,
+        pos_embedding="group_embed")
+    missing, unexpected = ref_model.load_state_dict(
+        refbridge.export_voxelvit_state_dict(params_np, cell_size=CELL),
+        strict=False)
+    assert not missing and not unexpected, (missing, unexpected)
+    ref_model.eval()
+
+    x = (rng.rand(3, V, V, V) > 0.7).astype(np.float32)
+    with torch.no_grad():
+        ref = ref_model(torch.from_numpy(x[:, None])).numpy()
+    ours_bug = np.asarray(model.apply({"params": variables["params"]},
+                                      jnp.asarray(x)))
+    np.testing.assert_allclose(ours_bug, ref, atol=5e-4, rtol=1e-3)
+
+    fixed = dataclasses.replace(model, group_axes="pillar")
+    ours_fix = np.asarray(fixed.apply({"params": variables["params"]},
+                                      jnp.asarray(x)))
+    assert np.abs(ours_fix - ref).max() > 1e-2, (
+        "pillar mode unexpectedly matches the bugged reference math")
+
+
+def test_reference_weight_sharing_route_is_broken_as_documented():
+    """The reference's weight_sharing __init__ computes
+    self.patch_embed.patch_size**2 (vit_3d_2d_pretrain.py:386-388), but
+    timm-0.3.2 PatchEmbed stores patch_size as a TUPLE (the same
+    tuple-vs-int semantics the group_embed `!= 14` check relies on), so
+    construction raises TypeError under the reference's own pinned deps;
+    its forward additionally hardcodes `.cuda()` (:502). Pinned here as the
+    recorded reason the reference's own code cannot be the accuracy bar for
+    this route (BASELINE.md round-5); our implementation honors the
+    declared intent (voxel_pos_embed sized to the voxel grid p^2+1,
+    models/voxel_vit.py docstring), forward-pinned vs a hand oracle in
+    tests/test_vit.py."""
+    ref_vit = refbridge.load_reference_module("models.vit_3d_2d_pretrain")
+    ref_emb = refbridge.load_reference_module("models.embed_layer_3d_modality")
+    torch.manual_seed(0)
+    with pytest.raises(TypeError):
+        ref_vit.Feature3D_ViT2D_V2(
+            n_classes=3,
+            embed_layer=ref_emb.VoxelEmbed_no_average(
+                voxel_size=V, cell_size=CELL, patch_size=P, embed_dim=192),
+            transformer_backbone="deit_tiny_patch16_224", pretrained=False,
+            pos_embedding="weight_sharing")
+
+
 def test_reference_no_embed_route_is_broken_as_documented():
     """The reference's no_embed route never creates voxel_pos_embed when the
     2D grid is the standard 196 patches (vit_3d_2d_pretrain.py:376-378 guard
