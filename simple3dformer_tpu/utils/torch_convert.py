@@ -205,6 +205,308 @@ def merge_into(params: dict, loaded: dict, prefix: str = "") -> tuple[dict, list
     return merged, applied
 
 
+# ---------------------------------------------------------------------------
+# Reference-trained checkpoint import (theirs -> ours), all model families.
+#
+# The reference saves two checkpoint schemes (SURVEY §5.4):
+#   * DDP scripts: bare state_dict, possibly with DDP 'module.' prefixes
+#     (/root/reference/train_cls_voxel.py:230,333 — epoch_best.pth)
+#   * Hydra scripts: {'epoch', metrics, 'model_state_dict',
+#     'optimizer_state_dict'} (/root/reference/train_partseg.py:224-237 —
+#     best_model.pth)
+# load_reference_checkpoint() unwraps either; the reference_*_to_jax_tree()
+# converters below are the exact inverses of the test-side exporters in
+# scripts/refbridge.py (which map OUR trees onto the reference's state-dict
+# names — round-trip identity is pinned in tests/test_reference_import.py),
+# so a reference-trained artifact loads into this framework's param /
+# batch_stats trees via merge_into().
+# ---------------------------------------------------------------------------
+
+
+def load_reference_checkpoint(path: str) -> tuple[dict, dict]:
+    """Load a reference checkpoint file -> (numpy state dict, metadata).
+
+    Handles both reference schemes and strips DDP 'module.' prefixes.
+    Metadata carries whatever non-tensor fields the hydra scheme stored
+    (epoch, best metrics) — empty for the bare-state-dict scheme.
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    meta: dict = {}
+    if isinstance(obj, dict) and "model_state_dict" in obj:
+        meta = {k: v for k, v in obj.items()
+                if k not in ("model_state_dict", "optimizer_state_dict")}
+        obj = obj["model_state_dict"]
+    sd = {}
+    for k, v in obj.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        sd[k] = v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+    return sd, meta
+
+
+def _inv_linear(sd: dict, name: str) -> dict:
+    out = {"kernel": np.asarray(sd[f"{name}.weight"]).T}
+    if f"{name}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{name}.bias"])
+    return out
+
+
+def _inv_mlp2(sd: dict, name: str) -> dict:
+    """torch Sequential(Linear, ReLU, Linear) -> our MLP2 {fc1, fc2}."""
+    return {"fc1": _inv_linear(sd, f"{name}.0"),
+            "fc2": _inv_linear(sd, f"{name}.2")}
+
+
+def _inv_mlp_head(sd: dict, name: str) -> dict:
+    """torch Sequential(Linear, ReLU, ...) at 0,2,4.. -> our {fc1..fcK}."""
+    out, i = {}, 0
+    while f"{name}.{2 * i}.weight" in sd:
+        out[f"fc{i + 1}"] = _inv_linear(sd, f"{name}.{2 * i}")
+        i += 1
+    return out
+
+
+def _inv_norm(sd: dict, name: str) -> dict:
+    return {"scale": np.asarray(sd[f"{name}.weight"]),
+            "bias": np.asarray(sd[f"{name}.bias"])}
+
+
+def _inv_bn(sd: dict, name: str) -> tuple[dict, dict]:
+    """torch BatchNorm entries -> (our params {scale,bias}, stats {mean,var})."""
+    return (_inv_norm(sd, name),
+            {"mean": np.asarray(sd[f"{name}.running_mean"]),
+             "var": np.asarray(sd[f"{name}.running_var"])})
+
+
+def _inv_vab(sd: dict, name: str) -> dict:
+    """torch Hengshuang TransformerBlock -> our VectorAttentionBlock."""
+    out = {lyr: _inv_linear(sd, f"{name}.{lyr}")
+           for lyr in ("fc1", "fc2", "w_qs", "w_ks", "w_vs")}
+    out["fc_delta"] = _inv_mlp2(sd, f"{name}.fc_delta")
+    out["fc_gamma"] = _inv_mlp2(sd, f"{name}.fc_gamma")
+    return out
+
+
+def _inv_sa(sd: dict, name: str) -> tuple[dict, dict]:
+    """Reference PointNetSetAbstraction mlp_convs/mlp_bns (Conv2d 1x1 + BN)
+    -> our {mlp_i: {conv, bn}} params + stats. The reference's dead
+    last_pos_embed entries (never read in its forward) are ignored."""
+    params, stats, i = {}, {}, 0
+    while f"{name}.mlp_convs.{i}.weight" in sd:
+        w = np.asarray(sd[f"{name}.mlp_convs.{i}.weight"])  # [out,in,1,1]
+        conv = {"kernel": w[:, :, 0, 0].T,
+                "bias": np.asarray(sd[f"{name}.mlp_convs.{i}.bias"])}
+        bn_p, bn_s = _inv_bn(sd, f"{name}.mlp_bns.{i}")
+        params[f"mlp_{i}"] = {"conv": conv, "bn": bn_p}
+        stats[f"mlp_{i}"] = {"bn": bn_s}
+        i += 1
+    return params, stats
+
+
+def _inv_linear_bn_relu(sd: dict, name: str) -> tuple[dict, dict]:
+    """Reference Sequential(Linear, Swap, BN1d, Swap, ReLU) -> our
+    LinearBNReLU {fc, bn} params + stats."""
+    bn_p, bn_s = _inv_bn(sd, f"{name}.2")
+    return ({"fc": _inv_linear(sd, f"{name}.0"), "bn": bn_p},
+            {"bn": bn_s})
+
+
+def reference_voxelvit_to_jax_tree(sd: dict, scan_blocks: bool = False) -> dict:
+    """Feature3D_ViT2D_V2 state dict -> our VoxelViT param tree (inverse of
+    scripts/refbridge.export_voxelvit_state_dict). Covers the shared
+    backbone, the single-conv tokenizers (VoxelEmbed / _no_average /
+    NaiveProjection: proj.conv3d_1 or proj.conv2d_1), voxel pos embed +
+    head, and the group_embed route's stage-1 encoder + params."""
+    out = torch_to_jax_tree(sd, scan_blocks=scan_blocks)
+    for conv in ("conv3d_1", "conv2d_1"):
+        key = f"voxel_embed.proj.{conv}.weight"
+        if key in sd:
+            w = np.asarray(sd[key])  # [D, Cin, c, c(, c)]
+            out["voxel_embed"] = {
+                "kernel": w.reshape(w.shape[0], -1).T,
+                "bias": np.asarray(sd[f"voxel_embed.proj.{conv}.bias"]),
+            }
+    if "voxel_pos_embed" in sd:
+        out["voxel_pos_embed"] = np.asarray(sd["voxel_pos_embed"])
+    if "voxel_head.weight" in sd:
+        out["voxel_head"] = _inv_linear(sd, "voxel_head")
+    if "group_embed.self_attn.in_proj_weight" in sd:
+        out["group_embed"] = {
+            "qkv": {
+                "kernel": np.asarray(
+                    sd["group_embed.self_attn.in_proj_weight"]).T,
+                "bias": np.asarray(sd["group_embed.self_attn.in_proj_bias"]),
+            },
+            "out_proj": _inv_linear(sd, "group_embed.self_attn.out_proj"),
+            "linear1": _inv_linear(sd, "group_embed.linear1"),
+            "linear2": _inv_linear(sd, "group_embed.linear2"),
+            "norm1": _inv_norm(sd, "group_embed.norm1"),
+            "norm2": _inv_norm(sd, "group_embed.norm2"),
+        }
+        out["group_pos_embed"] = np.asarray(sd["group_pos_embed"])
+        out["group_cls_token"] = np.asarray(sd["group_cls_token"])
+    return out
+
+
+def reference_hengshuang_to_jax_tree(sd: dict) -> tuple[dict, dict]:
+    """Reference Hengshuang PointTransformerCls/Seg state dict -> our
+    (params, batch_stats) trees (inverse of refbridge.export_hengshuang_
+    state_dict). The seg decoder is detected from the 'transformer2.'
+    keys."""
+    bb_p: dict = {"fc1_1": _inv_linear(sd, "backbone.fc1.0"),
+                  "fc1_2": _inv_linear(sd, "backbone.fc1.2"),
+                  "transformer1": _inv_vab(sd, "backbone.transformer1")}
+    bb_s: dict = {}
+    i = 0
+    while f"backbone.transition_downs.{i}.sa.mlp_convs.0.weight" in sd:
+        sa_p, sa_s = _inv_sa(sd, f"backbone.transition_downs.{i}.sa")
+        bb_p[f"transition_downs_{i}"] = {"sa": sa_p}
+        bb_s[f"transition_downs_{i}"] = {"sa": sa_s}
+        bb_p[f"transformers_{i}"] = _inv_vab(sd, f"backbone.transformers.{i}")
+        i += 1
+    params = {"backbone": bb_p, "fc2": _inv_mlp_head(sd, "fc2")}
+    stats = {"backbone": bb_s}
+    if "transformer2.fc1.weight" in sd:  # seg decoder
+        params["transformer2"] = _inv_vab(sd, "transformer2")
+        j = 0
+        while f"transition_ups.{j}.fc1.0.weight" in sd:
+            fc1_p, fc1_s = _inv_linear_bn_relu(sd, f"transition_ups.{j}.fc1")
+            fc2_p, fc2_s = _inv_linear_bn_relu(sd, f"transition_ups.{j}.fc2")
+            params[f"transition_ups_{j}"] = {"fc1": fc1_p, "fc2": fc2_p}
+            stats[f"transition_ups_{j}"] = {"fc1": fc1_s, "fc2": fc2_s}
+            params[f"up_transformers_{j}"] = _inv_vab(sd, f"transformers.{j}")
+            j += 1
+        params["fc3"] = _inv_mlp_head(sd, "fc3")
+    return params, stats
+
+
+def reference_pointvit_to_jax_tree(sd: dict,
+                                   scan_blocks: bool = False
+                                   ) -> tuple[dict, dict]:
+    """Reference 3DViT-family state dict -> our PointViT (params,
+    batch_stats) trees (inverse of refbridge.export_pointvit_state_dict).
+
+    Images variants (0_layer/1_layer/LWF — detected from 'new_head.' keys)
+    keep the live 2D pathway (cls/pos/patch_embed/head); the plain 3DViT's
+    point head is the reference's replaced `head`
+    (/root/reference/models/3DViT/model.py:233-236) and its dead 2D
+    pos_embed / PointEmbed patch_embed entries are dropped (our plain
+    variant rightly has no such params)."""
+    images = "new_head.weight" in sd
+    params = torch_to_jax_tree(sd, scan_blocks=scan_blocks)
+    if not images:
+        params.pop("pos_embed", None)  # dead in the reference's point path
+        params["new_head"] = params.pop("head")
+    else:
+        params["new_head"] = _inv_linear(sd, "new_head")
+    for stem in ("fc1", "fc_pos_embed"):
+        params[stem] = _inv_mlp2(sd, stem)
+    stats: dict = {}
+    i = 0
+    while f"transition_downs.{i}.sa.mlp_convs.0.weight" in sd:
+        sa_p, sa_s = _inv_sa(sd, f"transition_downs.{i}.sa")
+        params[f"transition_downs_{i}"] = {"sa": sa_p}
+        stats[f"transition_downs_{i}"] = {"sa": sa_s}
+        i += 1
+    j = 0
+    while f"transition_ups.{j}.fc1.0.weight" in sd:
+        fc1_p, fc1_s = _inv_linear_bn_relu(sd, f"transition_ups.{j}.fc1")
+        fc2_p, fc2_s = _inv_linear_bn_relu(sd, f"transition_ups.{j}.fc2")
+        params[f"transition_ups_{j}"] = {"fc1": fc1_p, "fc2": fc2_p}
+        stats[f"transition_ups_{j}"] = {"fc1": fc1_s, "fc2": fc2_s}
+        j += 1
+    return params, stats
+
+
+def reference_vip3d_to_jax_tree(sd: dict, params_template: dict) -> dict:
+    """Reference VisionPermutator3D state dict -> our param tree (inverse of
+    refbridge.export_vip3d_state_dict). The stage/block/downsample/PEG
+    geometry is derived from OUR params_template (an initialized
+    VisionPermutator3D tree of the matching config), since the reference
+    flattens it into positional network.{ni}.{bj} indices; the reference's
+    dead mlp_z entries are ignored."""
+    out: dict = {}
+    if "patch_embed.proj.conv3d_1.weight" in sd:
+        w = np.asarray(sd["patch_embed.proj.conv3d_1.weight"])
+        out["embed_layer"] = {
+            "kernel": w.reshape(w.shape[0], -1).T,
+            "bias": np.asarray(sd["patch_embed.proj.conv3d_1.bias"]),
+        }
+    n_stages = 1 + max(int(k.split("_")[0][5:]) for k in params_template
+                       if k.startswith("stage"))
+    layers = [sum(1 for k in params_template
+                  if k.startswith(f"stage{i}_block")) for i in range(n_stages)]
+    peg = "stage0_peg" in params_template
+    ni = 0
+    for i in range(n_stages):
+        for b in range(layers[i]):
+            bj = b + (1 if peg and b >= 1 else 0)
+            base = f"network.{ni}.{bj}"
+            blk = {
+                "norm1": _inv_norm(sd, f"{base}.norm1"),
+                "norm2": _inv_norm(sd, f"{base}.norm2"),
+                "attn": {
+                    **{lyr: _inv_linear(sd, f"{base}.attn.{lyr}")
+                       for lyr in ("mlp_h", "mlp_w", "mlp_c", "proj")},
+                    "reweight": {
+                        "fc1": _inv_linear(sd, f"{base}.attn.reweight.fc1"),
+                        "fc2": _inv_linear(sd, f"{base}.attn.reweight.fc2"),
+                    },
+                },
+                "mlp": {"fc1": _inv_linear(sd, f"{base}.mlp.fc1"),
+                        "fc2": _inv_linear(sd, f"{base}.mlp.fc2")},
+            }
+            out[f"stage{i}_block{b}"] = blk
+        if peg:
+            pw = np.asarray(sd[f"network.{ni}.1.proj.0.weight"])  # [C,1,3,3,3]
+            out[f"stage{i}_peg"] = {
+                "kernel": pw.transpose(2, 3, 4, 1, 0),
+                "bias": np.asarray(sd[f"network.{ni}.1.proj.0.bias"]),
+            }
+        ni += 1
+        if f"downsample{i}" in params_template:
+            ref_k = np.asarray(sd[f"network.{ni}.proj.weight"])  # [Co,Ci,p,p,p]
+            co, ci, p = ref_k.shape[0], ref_k.shape[1], ref_k.shape[2]
+            out[f"downsample{i}"] = {"proj": {
+                "kernel": ref_k.transpose(2, 3, 4, 1, 0).reshape(
+                    p ** 3 * ci, co),
+            }}
+            ni += 1
+    out["norm"] = _inv_norm(sd, "norm")
+    out["head"] = _inv_linear(sd, "head")
+    return out
+
+
+def import_reference_state(params: dict, loaded: dict,
+                           require_full: bool = True) -> dict:
+    """merge_into() with a coverage check: every leaf of our tree must be
+    filled from the reference checkpoint when require_full (the importer
+    promises a complete load, not a partial one)."""
+    import jax
+
+    merged, applied = merge_into(dict(params), loaded)
+    if require_full:
+        n = len(jax.tree_util.tree_leaves(params))
+        assert len(applied) == n, (
+            f"incomplete reference import: {len(applied)}/{n} leaves "
+            f"matched — first unmatched paths: "
+            f"{sorted(set(_leaf_paths(params)) - set(applied))[:6]}")
+    return merged
+
+
+def _leaf_paths(tree: dict, prefix: str = "") -> list:
+    out = []
+    for k, v in tree.items():
+        path = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.extend(_leaf_paths(v, path))
+        else:
+            out.append(path)
+    return out
+
+
 def find_checkpoint(backbone: str) -> str | None:
     d = os.environ.get(CKPT_DIR_ENV, DEFAULT_CKPT_DIR)
     for name in (f"{backbone}.pth", f"{backbone}.pt"):
