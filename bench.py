@@ -200,6 +200,20 @@ RECORDS = {
     # bookkeeping: measured 1650.1 / 1652.5 with hybrid-VJP on
     # (2 trials, 2026-08-19; pre-hybrid einsum path read 1559-1561).
     "vip3d_pure_mlp_f32_samples_per_sec_per_chip": 1650.0,
+    # ShapeNetV2 group_embed CLI epoch rate at synthetic=48 (BENCH_r04:
+    # 54.3). NOT comparable to BASELINE round-3b's anchored 62.5
+    # samples/sec step rate: at 48 samples the epoch is 3 train steps
+    # (256 ms each = 0.77 s) plus a 3-batch eval pass and host epoch
+    # bookkeeping, so eval/host overhead is ~35% of the epoch wall
+    # clock. The corpus cannot grow past ~48 at 128^3 without tripping
+    # the >100 MB host->device wedge (CLAUDE.md round-3), so the
+    # protocol delta is documented rather than eliminated; the step-rate
+    # anchor remains 62.5 (BASELINE round-3b).
+    "shapenetv2_group_embed_bf16_samples_per_sec_per_chip": 54.3,
+    # weight_sharing route (VERDICT r4 #4): ModelNet40-shaped 30^3, cell 6
+    # -> 5^3 grid, deit_small, B=16 bf16 — pz=5 backbone passes per sample
+    # batched as one [B*pz, 26] core pass (models/voxel_vit.py).
+    "modelnet40_weight_sharing_bf16_samples_per_sec_per_chip": None,
 }
 
 
@@ -213,6 +227,9 @@ def _retry_if_suspicious(entry: dict, measure) -> dict:
             entry = dict(second) if isinstance(second, dict) else dict(entry)
             entry["value"] = v2
         entry["suspicious_first_reading"] = v
+        # audit trail: BOTH readings land in the JSON even when the retry
+        # read lower and the first value was kept (ADVICE r4)
+        entry["readings"] = [v, v2]
     return entry
 
 
@@ -222,7 +239,12 @@ def main(dtype=None, batch=BATCH, quiet=False):
         return {"metric": "modelnet40_voxel_train_samples_per_sec_per_chip",
                 **r}
 
-    line = _retry_if_suspicious(measure(), measure)
+    line = measure()
+    if dtype is None and batch == BATCH:
+        # the RECORDS entry is for the default recipe config (f32, B=32);
+        # a legitimate non-default invocation (--bf16 / --batch) below 90%
+        # of that record is not suspicious (ADVICE r4)
+        line = _retry_if_suspicious(line, measure)
     line["vs_baseline"] = round(line["value"] / REF_GPU_SPS, 3)
     if not quiet:
         line["secondary"] = secondary_metrics()

@@ -159,6 +159,17 @@ class WeightedPermuteMLP(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         B, H, W, Z, C = x.shape
         seg = self.segment_dim
+        # Both execution paths (and the reference's own chain, vip_3d.py:
+        # 57-76) fold [axis, S] onto a [C, C] dense, which only type-checks
+        # when the token grid is cubic with H == segment_dim — the implicit
+        # constraint of every published vip3d_* config (8^3 grid at stage 0,
+        # 4^3 after the transition). Assert it here so a non-conforming grid
+        # fails with a clear message instead of an opaque einsum shape error
+        # (ADVICE r4).
+        assert H == W == Z == seg, (
+            f"WeightedPermuteMLP needs a cubic token grid with "
+            f"H == W == Z == segment_dim; got grid {H}x{W}x{Z}, "
+            f"segment_dim {seg} (see models/vip3d.py docstring)")
         S = C // seg
         T = C // H
 
