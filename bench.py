@@ -349,6 +349,20 @@ def secondary_metrics() -> list:
                            "--pos-embedding", "group_embed",
                            "--lr", "1e-3", "--dtype", "bf16"],
                           out_style="argparse"))
+    # weight_sharing route (VERDICT r4 #4): first-class reference CLI
+    # option (/root/reference/train_cls_voxel.py:46-53, forward at
+    # vit_3d_2d_pretrain.py:498-519) — pz=5 z-slices batched as one
+    # [B*pz, 26] core pass at the ModelNet40 recipe shapes.
+    add("modelnet40_weight_sharing_bf16_samples_per_sec_per_chip",
+        lambda: _cli_rate(train_cls_voxel.main,
+                          ["--dataset", "ModelNet40", "--synthetic", "512",
+                           "--batchSize", "32", "--epochs", "2",
+                           "--transformer-name", "deit_small_patch16_224",
+                           "--embed-layer", "VoxelEmbed_no_average",
+                           "--cell-size", "6", "--patch-size", "5",
+                           "--pos-embedding", "weight_sharing",
+                           "--lr", "1e-3", "--dtype", "bf16"],
+                          out_style="argparse"))
     return out
 
 

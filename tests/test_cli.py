@@ -12,6 +12,8 @@ from simple3dformer_tpu.cli import (
     train_s3dis_semseg,
 )
 
+pytestmark = pytest.mark.heavy  # see pyproject markers: quick loop excludes these
+
 
 def test_train_cls_voxel_cli(tmp_path):
     acc = train_cls_voxel.main([

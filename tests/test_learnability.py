@@ -22,6 +22,8 @@ from simple3dformer_tpu.train.loop import (
 )
 from simple3dformer_tpu.train.optim import make_optimizer
 
+pytestmark = pytest.mark.heavy  # see pyproject markers: quick loop excludes these
+
 # synthetic tasks live in scripts/synthetic_tasks.py — single source shared
 # with the trajectory-parity harness (drifted task definitions would read as
 # framework parity bugs)

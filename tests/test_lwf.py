@@ -1,6 +1,7 @@
 """LwF distillation: dual-batch train step + full CLI drive."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -13,6 +14,8 @@ from simple3dformer_tpu.nn.voxel_embed import VoxelEmbed
 from simple3dformer_tpu.train.loop import create_train_state
 from simple3dformer_tpu.train.lwf import make_scanned_lwf_train_steps, normalize_images
 from simple3dformer_tpu.train.optim import make_optimizer
+
+pytestmark = pytest.mark.heavy  # see pyproject markers: quick loop excludes these
 
 
 def test_normalize_images():
