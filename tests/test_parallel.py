@@ -142,6 +142,117 @@ def test_tp_sharded_step_matches_replicated(rng):
     jax.tree_util.tree_map_with_path(check, p_ref, p_tp)
 
 
+def test_vip3d_dp8_matches_single_device(rng):
+    """ViP-3D under data parallelism (VERDICT r4 #4): the permutator family's
+    scanned train step on the dp-8 mesh equals the 1-device step — same
+    losses, same final params. Matches the reference's DDP entry point
+    (/root/reference/train_pure_mlp.py:60-64,136-141)."""
+    from simple3dformer_tpu.models.vip3d import VisionPermutator3D
+    from simple3dformer_tpu.nn.voxel_embed import VoxelEmbedNoAverage
+
+    v, cell = 16, 2
+    model = VisionPermutator3D(
+        embed_layer=VoxelEmbedNoAverage(voxel_size=v, cell_size=cell,
+                                        patch_size=8, embed_dim=64),
+        layers=[2, 2], embed_dims=[64, 128], transitions=[True, False],
+        segment_dim=[8, 4], mlp_ratios=[3, 3], num_classes=5)
+    x = (rng.rand(64, v, v, v) > 0.7).astype(np.uint8)
+    y = rng.randint(0, 5, size=(64,)).astype(np.int32)
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((2, v, v, v)))
+    idx = rng.randint(0, 64, size=(3, 16)).astype(np.int32)
+
+    def run_vip(n_devices):
+        mesh = make_mesh(n_data=n_devices, devices=jax.devices()[:n_devices])
+        rules = ShardingRules(mesh)
+        ds = DeviceResidentDataset({"x": x, "y": y}, mesh=mesh)
+        tx = make_optimizer("SGD")
+        params = jax.tree_util.tree_map(jnp.array, variables["params"])
+        state = jax.device_put(create_train_state(params, tx), rules.params)
+        run = make_scanned_train_steps(model, tx, ds, rules)
+        state, metrics = run(state, rules.put_scan_idx(idx), 1e-2,
+                             jax.random.key(7))
+        return (jax.device_get(state.params),
+                np.asarray(jax.device_get(metrics["loss"])))
+
+    p1, l1 = run_vip(1)
+    p8, l8 = run_vip(8)
+    np.testing.assert_allclose(l1, l8, rtol=1e-4, atol=1e-5)
+
+    def check(path, a, b):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+
+    jax.tree_util.tree_map_with_path(check, p1, p8)
+
+
+def test_sp_sharded_step_matches_replicated(rng):
+    """Sequence parallelism must not change the math (VERDICT r4 weak #3):
+    one SGD train step on a (data=2, seq=4) mesh with the point-token axis
+    sharded over 'seq' produces the same loss AND the same parameter grads
+    as the fully-replicated step — XLA's inserted all-gathers behind the
+    [N, N] kNN distance matrices and set-abstraction gathers are layout
+    changes only."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+    from simple3dformer_tpu.models.hengshuang import PointTransformerCls
+
+    model = PointTransformerCls(num_point=128, num_class=5, input_dim=6,
+                                nblocks=1, nneighbor=4, transformer_dim=16)
+    x = jnp.asarray(rng.randn(4, 128, 6).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 5, size=(4,)).astype(np.int32))
+    variables = jax.jit(model.init)(jax.random.key(2), x[:2])
+    tx = optax.sgd(1e-2)
+    opt0 = tx.init(variables["params"])
+
+    def step(params, bstats, opt, xb, yb):
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": bstats}, xb,
+                deterministic=False, mutable=["batch_stats"])
+            oh = jax.nn.one_hot(yb, out.shape[-1])
+            loss = -jnp.mean(
+                jnp.sum(oh * jax.nn.log_softmax(out.astype(jnp.float32)),
+                        -1))
+            return loss, mut["batch_stats"]
+
+        (loss, new_bs), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        upd, new_opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, upd), new_bs, new_opt, loss, g
+
+    # replicated single-device reference
+    p_ref, bs_ref, _, loss_ref, g_ref = jax.jit(step)(
+        variables["params"], variables["batch_stats"], opt0, x, y)
+
+    mesh = jax.sharding.Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 4), ("data", "seq"))
+    repl = NamedSharding(mesh, Pspec())
+    xsh = NamedSharding(mesh, Pspec("data", "seq", None))
+    ysh = NamedSharding(mesh, Pspec("data"))
+    jitted = jax.jit(step, in_shardings=(repl, repl, repl, xsh, ysh),
+                     out_shardings=(repl, repl, repl, repl, repl))
+    p_sp, bs_sp, _, loss_sp, g_sp = jitted(
+        jax.device_put(variables["params"], repl),
+        jax.device_put(variables["batch_stats"], repl),
+        jax.device_put(opt0, repl),
+        jax.device_put(x, xsh), jax.device_put(y, ysh))
+
+    np.testing.assert_allclose(float(loss_sp), float(loss_ref),
+                               rtol=1e-5, atol=1e-6)
+
+    def check(path, a, b):
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b)),
+            rtol=5e-4, atol=5e-5,
+            err_msg=f"mismatch at {jax.tree_util.keystr(path)}")
+
+    jax.tree_util.tree_map_with_path(check, jax.device_get(g_sp), g_ref)
+    jax.tree_util.tree_map_with_path(check, jax.device_get(p_sp), p_ref)
+    jax.tree_util.tree_map_with_path(check, jax.device_get(bs_sp), bs_ref)
+
+
 # ---------------------------------------------------------------------------
 # Pipeline parallelism (parallel/pp.py): GPipe over the block-depth axis
 # ---------------------------------------------------------------------------
