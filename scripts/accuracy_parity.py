@@ -240,6 +240,172 @@ def run_voxel(epochs=15, batch=32, lr=1e-3, n_train=2048, n_test=2048,
     return out
 
 
+def run_weight_sharing(epochs=24, batch=32, lr=1e-3, n_train=1024,
+                       n_test=1024, seed=0, backbone="deit_tiny_patch16_224",
+                       noise=0.02, lr_step=10, lr_gamma=0.3, side="both"):
+    """weight_sharing route converged accuracy — vs a HAND-WRITTEN torch
+    mirror, not the reference's own code: the reference's weight_sharing
+    __init__ raises TypeError under its own pinned timm semantics (tuple
+    patch_size ** 2, vit_3d_2d_pretrain.py:386-388) and its forward
+    hardcodes .cuda() (:502) — pinned in tests/test_reference_parity.py::
+    test_reference_weight_sharing_route_is_broken_as_documented as the
+    recorded reason reference code can't be the bar here (VERDICT r4 #3).
+
+    The mirror follows the reference's declared semantics (one full block
+    stack per z slice, averaged cls, vit_3d_2d_pretrain.py:498-519) with
+    the intended p^2+1 voxel_pos_embed, built on the refbridge timm-shim
+    VisionTransformer (the same spec-faithful backbone the reference
+    classes run on in every other track) and loaded from OUR exported
+    init — forward parity is asserted at start of every run. Training
+    semantics match the voxel track (plain Adam + StepLR, identical batch
+    order/lrs)."""
+    import torch.nn as tnn
+
+    refbridge.install_timm_shim()
+    import timm.models.vision_transformer as shim_vt
+
+    from simple3dformer_tpu.nn.vit import BACKBONES
+
+    rng = np.random.RandomState(seed)
+    xs, ys = synthetic_tasks.make_hard_shape_voxels(n_train, rng, noise=noise)
+    xt, yt = synthetic_tasks.make_hard_shape_voxels(n_test, rng, noise=noise)
+    n_classes = 8
+    cfg = BACKBONES[backbone]
+    D, p, cell = cfg["embed_dim"], 4, 4
+
+    emb = VoxelEmbedNoAverage(voxel_size=V, cell_size=cell, patch_size=p,
+                              embed_dim=D)
+    model = VoxelViT(voxel_embed=emb, n_classes=n_classes,
+                     transformer_backbone=backbone,
+                     pos_embedding="weight_sharing")
+    variables = jax.jit(
+        lambda k, a, b: model.init(k, a, b, method=model.init_all)
+    )(jax.random.key(seed), jnp.zeros((2, V, V, V)),
+      jnp.zeros((1, 224, 224, 3)))
+    params_np = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    class WeightSharingMirror(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            torch.manual_seed(seed)
+            self.vit = shim_vt.VisionTransformer(
+                embed_dim=D, depth=cfg["depth"], num_heads=cfg["num_heads"],
+                mlp_ratio=cfg["mlp_ratio"], qkv_bias=cfg["qkv_bias"],
+                norm_layer=lambda d: tnn.LayerNorm(d, eps=1e-6))
+            self.voxel_embed = tnn.Conv3d(1, D, cell, stride=cell)
+            self.voxel_pos_embed = tnn.Parameter(
+                torch.zeros(1, p * p + 1, D))
+            self.voxel_head = tnn.Linear(D, n_classes)
+
+        def forward(self, x):
+            x = self.voxel_embed(x)  # [B, D, px, py, pz]
+            B, _, px, py, pz = x.shape
+            x = x.flatten(2, 3).permute(0, 2, 1, 3)  # [B, (px py), D, pz]
+            avg = torch.zeros(B, D)
+            for i in range(pz):
+                z = x[:, :, :, i]
+                cls = self.vit.cls_token.expand(B, -1, -1)
+                z = torch.cat((cls, z), dim=1) + self.voxel_pos_embed
+                for blk in self.vit.blocks:
+                    z = blk(z)
+                avg = avg + self.vit.norm(z)[:, 0]
+            return self.voxel_head(avg / pz)
+
+    ref_model = WeightSharingMirror()
+    missing, unexpected = ref_model.vit.load_state_dict(
+        refbridge.export_backbone_state_dict(params_np), strict=True)
+    assert not missing and not unexpected, (missing, unexpected)
+    with torch.no_grad():
+        k = params_np["voxel_embed"]["kernel"]  # [(cell^3), D]
+        ref_model.voxel_embed.weight.copy_(torch.from_numpy(
+            np.ascontiguousarray(k.T.reshape(D, 1, cell, cell, cell))))
+        ref_model.voxel_embed.bias.copy_(
+            torch.from_numpy(params_np["voxel_embed"]["bias"]))
+        ref_model.voxel_pos_embed.copy_(
+            torch.from_numpy(params_np["voxel_pos_embed"]))
+        ref_model.voxel_head.weight.copy_(torch.from_numpy(
+            np.ascontiguousarray(params_np["voxel_head"]["kernel"].T)))
+        ref_model.voxel_head.bias.copy_(
+            torch.from_numpy(params_np["voxel_head"]["bias"]))
+
+    # self-validate the mirror: forward parity at init (GELU-band tol)
+    ref_model.eval()
+    probe = (rng.rand(2, V, V, V) > 0.7).astype(np.float32)
+    with torch.no_grad():
+        want = ref_model(torch.from_numpy(probe[:, None])).numpy()
+    got = np.asarray(model.apply({"params": variables["params"]},
+                                 jnp.asarray(probe)))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+    steps_per_epoch = n_train // batch
+    order_rng = np.random.RandomState(seed + 1)
+    epoch_idx = [
+        order_rng.permutation(n_train)[: steps_per_epoch * batch]
+        .reshape(steps_per_epoch, batch)
+        for _ in range(epochs)
+    ]
+    lrs = [epoch_lr(lr, e, lr_step, lr_gamma) for e in range(epochs)]
+    eb = next(b for b in range(min(64, n_test), 0, -1) if n_test % b == 0)
+
+    jax_oa, t0 = [], time.time()
+    if side != "torch":
+        tx = make_optimizer("Adam")
+        state = create_train_state(variables["params"], tx)
+        ds = DeviceResidentDataset({"x": jnp.asarray(xs, jnp.float32),
+                                    "y": jnp.asarray(ys)})
+        run = make_scanned_train_steps(model, tx, ds)
+        test_ds = DeviceResidentDataset({"x": jnp.asarray(xt, jnp.float32),
+                                         "y": jnp.asarray(yt)})
+        evaluate = make_scanned_eval(model, test_ds)
+        eval_idx = jnp.asarray(np.arange(n_test).reshape(-1, eb))
+
+    for e in range(epochs if side != "torch" else 0):
+        state, _ = run(state, jnp.asarray(epoch_idx[e]), lrs[e],
+                       jax.random.key(e))
+        jax_oa.append(_jax_accuracy(evaluate(state, eval_idx), yt))
+        print(f"[jax]   epoch {e:2d} lr {lrs[e]:.2e} OA {jax_oa[-1]:.4f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
+    ref_oa = []
+    if side != "jax":
+        opt = torch.optim.Adam(ref_model.parameters(), lr=lrs[0],
+                               betas=(0.9, 0.999), eps=1e-8)
+        tx_all = torch.from_numpy(xs[:, None].astype(np.float32))
+        ty_all = torch.from_numpy(ys.astype(np.int64))
+        tt_all = torch.from_numpy(xt[:, None].astype(np.float32))
+        for e in range(epochs):
+            for g in opt.param_groups:
+                g["lr"] = lrs[e]
+            ref_model.train()
+            for s in range(steps_per_epoch):
+                bi = epoch_idx[e][s]
+                loss = F.cross_entropy(ref_model(tx_all[bi]), ty_all[bi])
+                opt.zero_grad()
+                loss.backward()
+                opt.step()
+            ref_model.eval()
+            preds = []
+            with torch.no_grad():
+                for i in range(0, n_test, eb):
+                    preds.append(
+                        ref_model(tt_all[i:i + eb]).argmax(-1).numpy())
+            ref_oa.append(float((np.concatenate(preds) == yt).mean()))
+            print(f"[torch] epoch {e:2d} lr {lrs[e]:.2e} OA {ref_oa[-1]:.4f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+    out = dict(jax_oa=np.array(jax_oa), ref_oa=np.array(ref_oa),
+               best_jax=max(jax_oa, default=float("nan")),
+               best_ref=max(ref_oa, default=float("nan")))
+    out["gap_pts"] = abs(out["best_jax"] - out["best_ref"]) * 100.0
+    if side == "both":
+        print(f"\nbest OA ours {out['best_jax']:.4f} vs torch-mirror "
+              f"{out['best_ref']:.4f}  |gap| = {out['gap_pts']:.2f} pts")
+    else:
+        print(f"\n[{side} side only] best OA "
+              f"{max(list(jax_oa) + list(ref_oa)):.4f}")
+    return out
+
+
 def run_point(epochs=12, batch=32, lr=1e-3, n_train=1536, n_test=1024,
               seed=0, npoint=96, nblocks=2, nneighbor=8, tdim=64,
               n_classes=6, noise=0.04, lr_step=50, lr_gamma=0.3):
@@ -337,7 +503,8 @@ def run_point(epochs=12, batch=32, lr=1e-3, n_train=1536, n_test=1024,
 
 def run_partseg(epochs=10, batch=32, lr=1e-3, n_train=1024, n_test=512,
                 seed=0, npoint=128, nneighbor=8,
-                backbone="deit_tiny_patch16_224", lr_step=4, lr_gamma=0.5):
+                backbone="deit_tiny_patch16_224", lr_step=4, lr_gamma=0.5,
+                noise=0.0):
     """ShapeNetPart semantics vs the reference's OWN 3DViT_1_layer
     PointTransformerSeg (train_partseg.py:86-152): identical init (refbridge
     exporter, correspondence pinned in tests/test_reference_parity.py) and
@@ -367,8 +534,13 @@ def run_partseg(epochs=10, batch=32, lr=1e-3, n_train=1024, n_test=512,
 
     ref_mod = refbridge.load_reference_module("models.3DViT_1_layer.model")
     rng = np.random.RandomState(seed)
-    xs, cs, ss = synthetic_tasks.make_partseg_parts(n_train, npoint, rng)
-    xt, ct, st_ = synthetic_tasks.make_partseg_parts(n_test, npoint, rng)
+    # noise = label_noise (plane-boundary jitter): 0.0 reproduces the
+    # recorded round-4 task exactly; nonzero de-saturates the mIoU ceiling
+    # (VERDICT r4 weak #2), see synthetic_tasks.make_catplane_seg.
+    xs, cs, ss = synthetic_tasks.make_partseg_parts(n_train, npoint, rng,
+                                                    label_noise=noise)
+    xt, ct, st_ = synthetic_tasks.make_partseg_parts(n_test, npoint, rng,
+                                                     label_noise=noise)
     input_dim = 3 + 16
 
     def build_model(torch_mom):
@@ -970,7 +1142,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--track", default="voxel",
                     choices=["voxel", "point", "partseg", "partseg_lwf",
-                             "scanobjectnn", "s3dis"])
+                             "scanobjectnn", "s3dis", "weight_sharing"])
     ap.add_argument("--epochs", type=int, default=15)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--n-train", type=int, default=2048)
@@ -1020,11 +1192,19 @@ def main():
                   lr_step=args.lr_step or 20, lr_gamma=args.lr_gamma or 0.5,
                   route=args.route, group_axes=args.group_axes,
                   side=args.side)
+    elif args.track == "weight_sharing":
+        run_weight_sharing(
+            epochs=args.epochs, batch=args.batch, n_train=args.n_train,
+            n_test=args.n_test, seed=args.seed, backbone=args.backbone,
+            noise=args.noise if args.noise is not None else 0.02,
+            lr_step=args.lr_step or 10, lr_gamma=args.lr_gamma or 0.3,
+            side=args.side)
     elif args.track == "partseg":
         run_partseg(epochs=args.epochs, batch=args.batch, seed=args.seed,
                     n_train=args.n_train, n_test=args.n_test,
                     backbone=args.backbone,
-                    lr_step=args.lr_step or 4, lr_gamma=args.lr_gamma or 0.5)
+                    lr_step=args.lr_step or 4, lr_gamma=args.lr_gamma or 0.5,
+                    noise=args.noise if args.noise is not None else 0.0)
     elif args.track == "partseg_lwf":
         run_partseg_lwf(epochs=args.epochs, batch=args.batch, seed=args.seed,
                         n_train=args.n_train, n_test=args.n_test,
