@@ -17,6 +17,13 @@ noted):
     nn.TransformerEncoderLayer (vit_3d_2d_pretrain.py:381,479), which silently
     attends across the *batch*; that batch-size-dependent behavior is a bug we
     do not replicate.
+  * group_pos_embed / group_cls_token init trunc_normal(0.02) in pillar mode
+    (reference zero-inits both, vit_3d_2d_pretrain.py:382-383): with zeros, an
+    all-empty pillar's sequence stays exactly zero and every LayerNorm
+    backward at the zero-variance rows amplifies the cotangent by ~3.3e3x per
+    block — f32 NaN on the first step whenever a batch has one empty pillar.
+    The reference survives only via its batch-mixing bug. reference_bug mode
+    keeps zeros exactly. See the setup() comment for the measurements.
   * voxel_pos_embed is zeros-initialized and trainable: the reference
     constructs it as zeros and then applies trunc_normal_ to the (frozen) 2D
     pos_embed instead (vit_3d_2d_pretrain.py:370-371) — so the effective
@@ -217,11 +224,29 @@ class VoxelViT(nn.Module):
         )
         if mode == "group_embed":
             self.group_embed = PostNormEncoderLayer(dtype=self.dtype, name="group_embed")
+            # Init: the reference zero-inits both group params
+            # (vit_3d_2d_pretrain.py:382-383). In pillar mode that is a
+            # trainability landmine we deliberately defuse: an all-empty
+            # pillar's sequence is then EXACTLY zero (0 -> 0 through every
+            # zero-biased op), and while the forward is benignly zero, every
+            # LayerNorm backward at a zero-variance row scales the cotangent
+            # by 1/sqrt(eps) = 1e3 — measured ~3.3e3x PER BLOCK, f32 overflow
+            # -> NaN params on the first optimizer step whenever a batch
+            # contains one empty pillar (common on real voxel grids). The
+            # reference never trips this only because its batch-mixing bug
+            # blends empty pillars with occupied ones. trunc_normal(0.02)
+            # group embeds break the exact-zero degeneracy; the stage-1
+            # encoder's trailing post-LN then re-normalizes every row to unit
+            # variance (measured: cotangent growth 3.3e3x/block -> flat).
+            # reference_bug mode keeps the reference's zeros exactly.
+            group_init = (nn.initializers.zeros
+                          if self.group_axes == "reference_bug"
+                          else nn.initializers.truncated_normal(0.02))
             self.group_pos_embed = self.param(
-                "group_pos_embed", nn.initializers.zeros, (1, p + 1, D)
+                "group_pos_embed", group_init, (1, p + 1, D)
             )
             self.group_cls_token = self.param(
-                "group_cls_token", nn.initializers.zeros, (1, 1, D)
+                "group_cls_token", group_init, (1, 1, D)
             )
 
     # -- helpers ---------------------------------------------------------

@@ -128,3 +128,49 @@ def test_voxel_vit_modes(mode, embed_cls):
     assert any("pos_embed" in f and "voxel" not in f for f in frozen)
     # 3D side trainable
     assert all("voxel" not in f for f in frozen)
+
+
+def test_group_embed_empty_pillar_grads_finite():
+    """Regression: a batch containing an all-empty pillar must yield finite
+    gradients in pillar mode at full depth.
+
+    With the reference's zeros-init group embeds
+    (vit_3d_2d_pretrain.py:382-383), an empty pillar's sequence is exactly
+    zero through the whole stack; every LayerNorm backward at those
+    zero-variance rows scales the cotangent by 1/sqrt(eps)=1e3 (~3.3e3x per
+    block measured), overflowing f32 to NaN by block 1 of 12 — the first
+    optimizer step then wipes the params (round-5 flat-OA incident). Pillar
+    mode now trunc_normal-inits the group embeds, which the stage-1 post-LN
+    re-normalizes to unit-variance rows; reference_bug mode keeps zeros (its
+    batch-mixing blends empty pillars, so it never degenerates).
+    """
+    import optax
+
+    emb = VoxelEmbedNoAverage(voxel_size=16, cell_size=4, patch_size=4,
+                              embed_dim=192)
+    for axes in ("pillar", "reference_bug"):
+        model = VoxelViT(
+            voxel_embed=emb, n_classes=8,
+            transformer_backbone="deit_tiny_patch16_224",
+            pos_embedding="group_embed", group_axes=axes, group_pack=1)
+        # sample 0: one occupied cell only (15 of 16 pillars empty);
+        # sample 1: fully occupied (keeps the batch non-degenerate overall)
+        x = jnp.zeros((2, 16, 16, 16)).at[0, 0, 0, 0].set(1.0).at[1].set(1.0)
+        img = jnp.zeros((1, 224, 224, 3))
+        variables = jax.jit(
+            lambda k, a, b, m=model: m.init(k, a, b, method=m.init_all)
+        )(jax.random.key(0), x, img)
+        y = jnp.array([0, 1])
+
+        def loss_fn(params, m=model):
+            out = m.apply({"params": params}, x)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                out, y).mean()
+
+        grads = jax.jit(jax.grad(loss_fn))(variables["params"])
+        bad = [
+            jax.tree_util.keystr(p)
+            for p, g in jax.tree_util.tree_leaves_with_path(grads)
+            if not bool(jnp.all(jnp.isfinite(g)))
+        ]
+        assert not bad, f"non-finite grads in {axes} mode: {bad[:6]}"
