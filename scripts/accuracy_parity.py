@@ -1175,6 +1175,14 @@ def main():
                     help="StepLR period in epochs (default: track-native "
                          "20 voxel / 50 point)")
     ap.add_argument("--lr-gamma", type=float, default=None)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="base learning rate, identical on both sides "
+                         "(default: track-native — 1e-3 Adam tracks, 0.01 "
+                         "SGD tracks). The group_embed/pillar architecture "
+                         "does not train at the voxel track's 1e-3 (loss "
+                         "pinned at chance for 3+ epochs, probed in "
+                         "scripts/debug_ge_pillar.py) but converges "
+                         "cleanly at 3e-4 — pass --lr 3e-4 for that route.")
     ap.add_argument("--noise", type=float, default=None,
                     help="synthetic-task noise level (voxel track: fraction "
                          "of bits flipped, default 0.06; scanobjectnn "
@@ -1188,6 +1196,7 @@ def main():
     if args.track == "voxel":
         run_voxel(epochs=args.epochs, batch=args.batch, n_train=args.n_train,
                   n_test=args.n_test, seed=args.seed, backbone=args.backbone,
+                  lr=args.lr if args.lr is not None else 1e-3,
                   noise=args.noise if args.noise is not None else 0.06,
                   lr_step=args.lr_step or 20, lr_gamma=args.lr_gamma or 0.5,
                   route=args.route, group_axes=args.group_axes,
@@ -1196,6 +1205,7 @@ def main():
         run_weight_sharing(
             epochs=args.epochs, batch=args.batch, n_train=args.n_train,
             n_test=args.n_test, seed=args.seed, backbone=args.backbone,
+            lr=args.lr if args.lr is not None else 1e-3,
             noise=args.noise if args.noise is not None else 0.02,
             lr_step=args.lr_step or 10, lr_gamma=args.lr_gamma or 0.3,
             side=args.side)
@@ -1215,6 +1225,7 @@ def main():
         run_scanobjectnn(epochs=args.epochs, batch=args.batch,
                          seed=args.seed, n_train=args.n_train,
                          n_test=args.n_test, backbone=args.backbone,
+                         lr=args.lr if args.lr is not None else 0.01,
                          lr_step=args.lr_step or 8,
                          lr_gamma=args.lr_gamma or 0.3, side=args.side,
                          noise=args.noise if args.noise is not None
