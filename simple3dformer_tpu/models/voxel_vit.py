@@ -16,7 +16,13 @@ noted):
     The reference feeds batch-first tensors to a seq-first
     nn.TransformerEncoderLayer (vit_3d_2d_pretrain.py:381,479), which silently
     attends across the *batch*; that batch-size-dependent behavior is a bug we
-    do not replicate.
+    do not replicate. Measured accuracy effect (BASELINE.md round-5, converged
+    full-depth deit_tiny runs, identical init/batches/schedule): our as-shipped
+    per-pillar stage-1 reaches best OA 0.8828 vs the reference code's
+    batch-mixing 0.7773 — the bug-fix deviation is worth ~+10.5 pts, not a
+    parity-neutral cleanup. A replicate-bug leg (group_axes="reference_bug",
+    same architecture both sides) isolates the framework-internal share of the
+    gap; see the BASELINE round-5 table.
   * group_pos_embed / group_cls_token init trunc_normal(0.02) in pillar mode
     (reference zero-inits both, vit_3d_2d_pretrain.py:382-383): with zeros, an
     all-empty pillar's sequence stays exactly zero and every LayerNorm
