@@ -211,9 +211,12 @@ RECORDS = {
     # anchor remains 62.5 (BASELINE round-3b).
     "shapenetv2_group_embed_bf16_samples_per_sec_per_chip": 54.3,
     # weight_sharing route (VERDICT r4 #4): ModelNet40-shaped 30^3, cell 6
-    # -> 5^3 grid, deit_small, B=16 bf16 — pz=5 backbone passes per sample
-    # batched as one [B*pz, 26] core pass (models/voxel_vit.py).
-    "modelnet40_weight_sharing_bf16_samples_per_sec_per_chip": None,
+    # -> 5^3 grid, deit_small, B=32 bf16 — pz=5 backbone passes per sample
+    # batched as one [B*pz, 26] core pass (models/voxel_vit.py). First chip
+    # measurement 2026-08-20: 3141.3 (epoch-2 CLI rate, host CPU contended
+    # by a concurrent accuracy run — an uncontended reading can only be
+    # higher, so this is a safe repeat-on-suspicion floor).
+    "modelnet40_weight_sharing_bf16_samples_per_sec_per_chip": 3141.0,
 }
 
 
