@@ -19,10 +19,13 @@ noted):
     do not replicate. Measured accuracy effect (BASELINE.md round-5, converged
     full-depth deit_tiny runs, identical init/batches/schedule): our as-shipped
     per-pillar stage-1 reaches best OA 0.8828 vs the reference code's
-    batch-mixing 0.7773 — the bug-fix deviation is worth ~+10.5 pts, not a
-    parity-neutral cleanup. A replicate-bug leg (group_axes="reference_bug",
-    same architecture both sides) isolates the framework-internal share of the
-    gap; see the BASELINE round-5 table.
+    batch-mixing 0.7773 (+10.55 pts). The replicate-bug leg
+    (group_axes="reference_bug", same architecture both sides) decomposes
+    that: the bug-fix itself is worth +9.18 pts within our own framework
+    (jax pillar 0.8828 vs jax replicate-bug 0.7910), and the
+    framework-internal jax-vs-torch share is +1.4 to +2.9 pts in our favor
+    (leg-(b): ours 0.7910 vs reference code 0.7617). Not a parity-neutral
+    cleanup; see the BASELINE round-5 table.
   * group_pos_embed / group_cls_token init trunc_normal(0.02) in pillar mode
     (reference zero-inits both, vit_3d_2d_pretrain.py:382-383): with zeros, an
     all-empty pillar's sequence stays exactly zero and every LayerNorm
